@@ -1,0 +1,454 @@
+"""Deterministic synthetic world: images + elements + regions/polygons +
+wiki entities + error catalog.
+
+Mirrors the reference's data model (SURVEY.md §1, FIXTURES.md):
+  * `elements`  ↔ reference `osm_data` (`database.py:15-16`): point
+    lat/lon per element (way/relation get a center like
+    `load_osm_file.py:64-68`), native map tags instead of the JSON
+    string of `load_osm_file.py:41`, two snapshot generations per ~20%
+    of keys to exercise the upsert dedup (`load_osm_file.py:27-40`).
+  * `regions` / `polygons` ↔ `regions_processed.yaml` config +
+    real geometry replacing hardcoded bboxes
+    (`osm_editor_bot_for_approved_tasks.py:222-298`).
+  * `wiki_entities` ↔ the networked Wikipedia/Wikidata cache
+    (`script.py:116,329`) as a joinable dim table.
+  * `images` — the BASELINE.json input_hint table
+    (image_id, bytes, w, h, fmt, caption, phash), one per element id.
+
+Every row is a pure function of its id via splitmix64, so generation is
+embarrassingly parallel and identical regardless of partitioning — the
+Spark wrappers use `spark.range(n).mapInPandas(...)`, which is also how
+the 10^12-row table would be materialized on a real cluster.
+
+All geometry coordinates are exact decimals (multiples of 1e-6 degree)
+so fixture comparison is bit-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.hashing import hash2, splitmix64, u01
+from .codecs import decode_image, encode_image
+from ..functions.imagefns import ahash64
+
+SEED = 20260816
+
+WORLD = dict(lon_min=-20.0, lat_min=-10.0, lon_max=40.0, lat_max=30.0)
+
+# Hot "city" clusters (~50% of elements) to exercise salted skew joins.
+CLUSTERS = [
+    (-10.0, 2.0, 0.25),  # inside alpha
+    (8.0, 12.0, 0.25),  # inside beta
+    (26.0, 6.0, 0.25),  # inside gamma (outside its hole)
+]
+
+LANGS = ["en", "de", "pl", "fr", "es"]
+WIKI_KEYS = [
+    "wikipedia",
+    "wikidata",
+    "brand:wikipedia",
+    "subject:wikidata",
+    "name:etymology:wikidata",
+]
+
+N_ENTITIES = 2000
+
+ERROR_CATALOG = [
+    # (error_id, category, priority)  — lower priority number wins, mirroring
+    # "most important problem" selection (`script.py:329` /
+    # get_the_most_important_problem_generic) and the category routing pages
+    # of generate_webpage_with_error_output.py (obvious :277-333,
+    # for_review :335-540, for_tests :542-670, ignored :672-1081).
+    ("malformed wikipedia tag", "review", 0),
+    ("malformed wikidata tag", "review", 1),
+    ("wikipedia tag links to 404", "review", 2),
+    ("wikidata tag links to 404", "review", 3),
+    ("wikipedia wikidata mismatch", "review", 4),
+    ("wikidata tag links to a redirect", "obvious", 5),
+    ("wikipedia tag links to a redirect", "obvious", 6),
+    ("wikipedia tag links to a disambiguation page", "tests", 7),
+    ("should use a secondary wikipedia tag - linking to a human", "review", 8),
+    ("wikipedia tag unexpected language", "review", 9),
+    ("element outside declared region", "review", 10),
+    ("wikipedia tag in outdated form", "ignored", 11),
+]
+
+
+def gen_error_catalog() -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {"error_id": e, "category": c, "priority": p}
+            for (e, c, p) in ERROR_CATALOG
+        ]
+    )
+
+
+def gen_regions() -> pd.DataFrame:
+    rows = [
+        # internal_region_name, title, language_code, merged_into, ignored, mult, hidden
+        ("alpha", "Alpha", "en", [], [], 1.0, False),
+        ("beta", "Beta", "de", [], [], 2.0, False),
+        ("gamma", "Gamma", "pl", [], [], 1.0, False),
+        ("delta", "Delta", "en", [], ["wikipedia tag links to 404"], 0.5, False),
+        ("epsilon", "Epsilon", "fr", [], [], 1.0, True),
+        ("zeta-north", "Zeta North", "es", ["zeta"], [], 1.0, False),
+        ("zeta-south", "Zeta South", "es", ["zeta"], [], 1.0, False),
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "internal_region_name",
+            "website_main_title_part",
+            "language_code",
+            "merged_into",
+            "ignored_problems",
+            "priority_multiplier",
+            "hidden",
+        ],
+    )
+
+
+def _ring(coords: list[tuple[float, float]]) -> list[dict]:
+    return [{"lon": float(lo), "lat": float(la)} for lo, la in coords]
+
+
+def gen_polygons() -> pd.DataFrame:
+    """Region geometries. rings[0] = shell, rings[1:] = holes.
+
+    Includes a concave polygon (beta), a polygon with a hole (gamma),
+    and vertices at exact decimals so on-edge fixture points are stable.
+    """
+    rows = []
+
+    def add(region, pid, rings):
+        rows.append({"region": region, "polygon_id": pid, "rings": rings})
+
+    # alpha: plain square
+    add("alpha", "alpha-0", [_ring([(-18, -8), (-2, -8), (-2, 8), (-18, 8), (-18, -8)])])
+    # beta: concave L-shape
+    add(
+        "beta",
+        "beta-0",
+        [_ring([(0, 8), (16, 8), (16, 20), (10, 20), (10, 12), (0, 12), (0, 8)])],
+    )
+    # gamma: square with a square hole
+    add(
+        "gamma",
+        "gamma-0",
+        [
+            _ring([(20, 0), (36, 0), (36, 12), (20, 12), (20, 0)]),
+            _ring([(30, 8), (34, 8), (34, 11), (30, 11), (30, 8)]),  # hole
+        ],
+    )
+    # delta: two disjoint polygons (multi-polygon region)
+    add("delta", "delta-0", [_ring([(-18, 12), (-10, 12), (-10, 20), (-18, 20), (-18, 12)])])
+    add("delta", "delta-1", [_ring([(-8, 12), (-2, 12), (-2, 20), (-8, 20), (-8, 12)])])
+    # epsilon (hidden region still has geometry)
+    add("epsilon", "epsilon-0", [_ring([(20, 16), (30, 16), (30, 24), (20, 24), (20, 16)])])
+    # zeta north/south share a border at lat=26 (cross-border elements)
+    add("zeta-north", "zeta-north-0", [_ring([(0, 26), (12, 26), (12, 29), (0, 29), (0, 26)])])
+    add("zeta-south", "zeta-south-0", [_ring([(0, 22), (12, 22), (12, 26), (0, 26), (0, 22)])])
+    return pd.DataFrame(rows)
+
+
+def _quantize(v: np.ndarray) -> np.ndarray:
+    """Exact 1e-6-degree decimals for bit-stable fixtures."""
+    return np.round(np.asarray(v, dtype=np.float64), 6)
+
+
+def _region_of_points(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """Assign area_identifier at generation time (bbox-level, like the
+    reference's "region the data was downloaded for"). Exact containment
+    is recomputed by the engine; deliberately uses shells' bboxes only,
+    so gamma-hole points and beta-notch points get a declared region the
+    exact PIP will contradict → 'element outside declared region'."""
+    from ..functions.geometry import ring_bbox
+
+    polys = gen_polygons()
+    out = np.array(["unassigned"] * len(lon), dtype=object)
+    assigned = np.zeros(len(lon), dtype=bool)
+    for _, row in polys.iterrows():
+        shell = np.array([[p["lon"], p["lat"]] for p in row["rings"][0]])
+        x0, y0, x1, y1 = ring_bbox(shell)
+        hit = (~assigned) & (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+        out[hit] = row["region"]
+        assigned |= hit
+    return out
+
+
+def gen_elements_batch(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic element rows for the given ids (vectorized).
+
+    ~20% of ids also emit a second, newer snapshot row (same key,
+    higher download_timestamp, possibly changed wiki tag) so W1/J2
+    upsert-dedup semantics are exercised (`load_osm_file.py:27-40`).
+    """
+    ids = np.asarray(ids, dtype=np.int64)
+    h = splitmix64(ids.astype(np.uint64) + np.uint64(SEED))
+
+    type_r = u01(hash2(h, 1))
+    etype = np.where(type_r < 0.7, "node", np.where(type_r < 0.9, "way", "relation"))
+
+    # location: 50% clustered (skew), 50% uniform
+    in_cluster = u01(hash2(h, 2)) < 0.5
+    cidx = (u01(hash2(h, 3)) * len(CLUSTERS)).astype(np.int64)
+    ccx = np.array([c[0] for c in CLUSTERS])[cidx]
+    ccy = np.array([c[1] for c in CLUSTERS])[cidx]
+    csd = np.array([c[2] for c in CLUSTERS])[cidx]
+    # Box-Muller from two hash-uniforms (deterministic "gaussian")
+    u1 = np.clip(u01(hash2(h, 4)), 1e-12, 1 - 1e-12)
+    u2 = u01(hash2(h, 5))
+    g1 = np.sqrt(-2 * np.log(u1)) * np.cos(2 * np.pi * u2)
+    g2 = np.sqrt(-2 * np.log(u1)) * np.sin(2 * np.pi * u2)
+    lon_c = ccx + g1 * csd
+    lat_c = ccy + g2 * csd
+    lon_u = WORLD["lon_min"] + u01(hash2(h, 6)) * (WORLD["lon_max"] - WORLD["lon_min"])
+    lat_u = WORLD["lat_min"] + u01(hash2(h, 7)) * (WORLD["lat_max"] - WORLD["lat_min"])
+    lon = _quantize(np.where(in_cluster, lon_c, lon_u))
+    lat = _quantize(np.where(in_cluster, lat_c, lat_u))
+
+    area = _region_of_points(lon, lat)
+
+    # tags
+    wiki_tagged = u01(hash2(h, 8)) < 0.8
+    key_idx = (u01(hash2(h, 9)) * len(WIKI_KEYS)).astype(np.int64)
+    ent = (u01(hash2(h, 10)) * N_ENTITIES).astype(np.int64)
+    lang_idx = (u01(hash2(h, 11)) * len(LANGS)).astype(np.int64)
+    malformed = u01(hash2(h, 12)) < 0.05
+    both_tags = u01(hash2(h, 13)) < 0.15  # wikipedia AND wikidata
+    mismatch = u01(hash2(h, 14)) < 0.3  # of those, point at different entities
+
+    ts = np.int64(1_700_000_000) + (splitmix64(hash2(h, 15)) % np.uint64(900_000)).astype(
+        np.int64
+    )
+    second_gen = u01(hash2(h, 16)) < 0.2
+
+    langs = np.array(LANGS, dtype=object)[lang_idx]
+    keys = np.array(WIKI_KEYS, dtype=object)[key_idx]
+
+    def tag_rows(gen: int):
+        rows = []
+        for i in range(len(ids)):
+            tags = {"name": f"Feature {int(ids[i])}"}
+            if wiki_tagged[i]:
+                k = keys[i]
+                e = int(ent[i]) if gen == 0 else (int(ent[i]) + 1) % N_ENTITIES
+                if "wikidata" in k:
+                    val = f"Q{e}" if not malformed[i] else f"wd-{e}"
+                else:
+                    val = f"{langs[i]}:Article{e}" if not malformed[i] else f"Article{e}"
+                tags[k] = val
+                if both_tags[i] and "wikidata" not in k:
+                    e2 = e if not mismatch[i] else (e + 7) % N_ENTITIES
+                    tags["wikidata"] = f"Q{e2}"
+            rows.append(tags)
+        return rows
+
+    # member points for ways/relations: 4 points around center, ~10%
+    # have one point pushed far outside (fails all-inside containment,
+    # `osm_editor_bot_for_approved_tasks.py:188-196`)
+    member_points = []
+    is_multi = etype != "node"
+    far = u01(hash2(h, 17)) < 0.1
+    for i in range(len(ids)):
+        if not is_multi[i]:
+            member_points.append(None)
+            continue
+        pts = []
+        for j in range(4):
+            dx = (u01(hash2(h[i : i + 1], 100 + j))[0] - 0.5) * 0.1
+            dy = (u01(hash2(h[i : i + 1], 200 + j))[0] - 0.5) * 0.1
+            pts.append(
+                {
+                    "lon": float(_quantize(np.array([lon[i] + dx]))[0]),
+                    "lat": float(_quantize(np.array([lat[i] + dy]))[0]),
+                }
+            )
+        if far[i]:
+            pts[0] = {"lon": float(lon[i]) + 50.0, "lat": float(lat[i])}
+        member_points.append(pts)
+
+    base = pd.DataFrame(
+        {
+            "type": etype,
+            "id": ids,
+            "lat": lat,
+            "lon": lon,
+            "tags": tag_rows(0),
+            "area_identifier": area,
+            "download_timestamp": ts,
+            "member_points": member_points,
+        }
+    )
+    upd = base[second_gen].copy()
+    if len(upd):
+        gen1 = tag_rows(1)
+        upd["tags"] = [gen1[i] for i in np.where(second_gen)[0]]
+        upd["download_timestamp"] = upd["download_timestamp"] + 1_000_000
+    out = pd.concat([base, upd], ignore_index=True)
+    return out
+
+
+def gen_wiki_entities(n: int = N_ENTITIES) -> pd.DataFrame:
+    ids = np.arange(n, dtype=np.int64)
+    h = splitmix64(ids.astype(np.uint64) + np.uint64(SEED * 3 + 1))
+    lang = np.array(LANGS, dtype=object)[(u01(hash2(h, 1)) * len(LANGS)).astype(np.int64)]
+    redirect = u01(hash2(h, 2)) < 0.05
+    disambig = (~redirect) & (u01(hash2(h, 3)) < 0.05)
+    exists = u01(hash2(h, 4)) >= 0.08
+    inst_r = u01(hash2(h, 5))
+    instance_of = np.where(
+        inst_r < 0.1, "human", np.where(inst_r < 0.2, "brand", np.where(inst_r < 0.7, "place", "generic"))
+    )
+    lon = _quantize(WORLD["lon_min"] + u01(hash2(h, 6)) * (WORLD["lon_max"] - WORLD["lon_min"]))
+    lat = _quantize(WORLD["lat_min"] + u01(hash2(h, 7)) * (WORLD["lat_max"] - WORLD["lat_min"]))
+    has_coord = u01(hash2(h, 8)) < 0.7
+    return pd.DataFrame(
+        {
+            "qid": [f"Q{i}" for i in ids],
+            "article": [f"{lang[i]}:Article{i}" for i in range(n)],
+            "lang": lang,
+            "redirect_to": [f"Q{(i + 13) % n}" if redirect[i] else None for i in range(n)],
+            "is_disambiguation": disambig,
+            "exists": exists,
+            "instance_of": instance_of,
+            "lat": np.where(has_coord, lat, np.nan),
+            "lon": np.where(has_coord, lon, np.nan),
+            "has_coord": has_coord,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# images (input_hint table)
+# ---------------------------------------------------------------------------
+
+_SIZES = [16, 32, 64]
+
+
+def gen_images_batch(ids: np.ndarray) -> pd.DataFrame:
+    """One image row per element id: deterministic gradient + hash noise,
+    PNG (lossless) or fake-JPEG (lossy, PSNR≈48dB), caption = the
+    element's wiki tag payload, phash = aHash of the DECODED pixels."""
+    ids = np.asarray(ids, dtype=np.int64)
+    h = splitmix64(ids.astype(np.uint64) + np.uint64(SEED * 7 + 5))
+    wsel = np.array(_SIZES)[(u01(hash2(h, 1)) * 3).astype(np.int64)]
+    hsel = np.array(_SIZES)[(u01(hash2(h, 2)) * 3).astype(np.int64)]
+    fmt = np.where(u01(hash2(h, 3)) < 0.5, "png", "jpeg")
+
+    elements = gen_elements_batch(ids)
+    # keep only first generation per id for caption linkage
+    elements = elements.drop_duplicates(subset=["id"], keep="first").set_index("id")
+
+    rows = []
+    for i, eid in enumerate(ids):
+        w, ht = int(wsel[i]), int(hsel[i])
+        hh = int(h[i])
+        gy = np.arange(ht, dtype=np.float64)[:, None]
+        gx = np.arange(w, dtype=np.float64)[None, :]
+        base = (gy * 255 / max(ht - 1, 1) + gx * 255 / max(w - 1, 1)) / 2
+        img = np.stack(
+            [
+                (base + (hh & 0xFF)) % 256,
+                (base * 0.5 + ((hh >> 8) & 0xFF)) % 256,
+                (base * 1.5 + ((hh >> 16) & 0xFF)) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        data = encode_image(img, str(fmt[i]))
+        decoded = decode_image(data)
+        tags = elements.loc[int(eid), "tags"]
+        caption = ""
+        for k in WIKI_KEYS:
+            if k in tags:
+                caption = tags[k]
+                break
+        rows.append(
+            {
+                "image_id": f"img-{int(eid):09d}",
+                "bytes": data,
+                "w": w,
+                "h": ht,
+                "fmt": str(fmt[i]),
+                "caption": caption,
+                "phash": ahash64(decoded),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Spark wrappers — distributed datagen via mapInPandas
+# ---------------------------------------------------------------------------
+
+ELEMENTS_SCHEMA = (
+    "type string, id long, lat double, lon double, tags map<string,string>, "
+    "area_identifier string, download_timestamp long, "
+    "member_points array<struct<lon:double,lat:double>>"
+)
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+)
+
+POLYGONS_SCHEMA = "region string, polygon_id string, rings array<array<struct<lon:double,lat:double>>>"
+
+REGIONS_SCHEMA = (
+    "internal_region_name string, website_main_title_part string, language_code string, "
+    "merged_into array<string>, ignored_problems array<string>, "
+    "priority_multiplier double, hidden boolean"
+)
+
+WIKI_SCHEMA = (
+    "qid string, article string, lang string, redirect_to string, "
+    "is_disambiguation boolean, exists boolean, instance_of string, "
+    "lat double, lon double, has_coord boolean"
+)
+
+
+def spark_elements(spark, n: int):
+    return (
+        spark.range(n)
+        .repartition(max(spark.sparkContext.defaultParallelism, 8))
+        .mapInPandas(lambda it: (gen_elements_batch(p["id"].to_numpy()) for p in it), ELEMENTS_SCHEMA)
+    )
+
+
+def spark_images(spark, n: int):
+    return (
+        spark.range(n)
+        .repartition(max(spark.sparkContext.defaultParallelism, 8))
+        .mapInPandas(lambda it: (gen_images_batch(p["id"].to_numpy()) for p in it), IMAGES_SCHEMA)
+    )
+
+
+def spark_polygons(spark):
+    pdf = gen_polygons()
+    rows = [
+        (
+            r["region"],
+            r["polygon_id"],
+            [[(p["lon"], p["lat"]) for p in ring] for ring in r["rings"]],
+        )
+        for _, r in pdf.iterrows()
+    ]
+    return spark.createDataFrame(rows, POLYGONS_SCHEMA)
+
+
+def spark_regions(spark):
+    pdf = gen_regions()
+    rows = [tuple(r) for r in pdf.itertuples(index=False)]
+    return spark.createDataFrame(rows, REGIONS_SCHEMA)
+
+
+def spark_wiki_entities(spark, n: int = N_ENTITIES):
+    pdf = gen_wiki_entities(n)
+    pdf = pdf.astype(object).where(pd.notnull(pdf), None)
+    rows = [tuple(r) for r in pdf.itertuples(index=False)]
+    return spark.createDataFrame(rows, WIKI_SCHEMA)
+
+
+def spark_error_catalog(spark):
+    return spark.createDataFrame(gen_error_catalog())

@@ -1,0 +1,72 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing uses ``local[N]``; the same configs are what we'd
+ship in ``spark-defaults.conf`` on a real cluster (AQE on, skew-join
+on, Arrow on). Partition counts are parameterized so the two-
+parallelism-level scaling benchmark (local[8] vs local[32]) exercises
+the same plan at different DOP.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "osm-wikipedia-tag-validator-spark",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    cores=None → ``local[*]``. On a real cluster this function is not
+    used; jobs are launched with spark-submit and pick up the active
+    session — every operator in this package takes ``spark`` or a
+    DataFrame explicitly and never creates its own session.
+    """
+    cores_env = os.environ.get("SPARK_GRAFT_CPUS")
+    if cores is None and cores_env:
+        cores = int(cores_env)
+    master = f"local[{cores}]" if cores else "local[*]"
+    ncores = cores or (os.cpu_count() or 8)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(DEFAULT_SHUFFLE_PARTITIONS, ncores)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime coalescing + skew-join splitting. The engine also
+        # salts known-hot cells explicitly (operators/spatial_join.py);
+        # AQE covers the residual skew Catalyst can observe at runtime.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for pandas UDFs and toPandas — the engine's hot path is
+        # Arrow-batched vectorized UDFs, never row-at-a-time Python.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Sized so a shuffle partition of the image table (binary col)
+        # fits in executor memory at target SF.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
