@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns (array<float>).
+
+  cosine_topk_native  — exact brute force as pure Catalyst higher-order
+                        functions (zip_with/aggregate dot product) +
+                        window re-rank. Oracle-matchable in SQL.
+  cosine_topk_fast    — exact brute force with the corpus broadcast as
+                        one numpy matrix; each Arrow batch of queries
+                        does a single matmul + argpartition. The scale
+                        path for broadcastable corpora.
+  ivf_topk            — IVF (inverted-file) ANN: corpus assigned to
+                        nearest of C centroids (k-means on a driver
+                        sample); queries probe the top-`nprobe`
+                        centroids and search only those lists. Recall
+                        measured vs brute force in tests.
+
+All variants break ties by ascending corpus id → deterministic output.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk_native(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors, broadcast nested loop, JVM expressions."""
+    q = queries.select(F.col(q_id).alias("qid"), _as_double(q_vec).alias("qv"))
+    c = F.broadcast(corpus.select(F.col(c_id).alias("cid"), _as_double(c_vec).alias("cv")))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nq = F.sqrt(F.aggregate(F.zip_with("qv", "qv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x))
+    nc = F.sqrt(F.aggregate(F.zip_with("cv", "cv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x))
+    d = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", F.round(dot / (nq * nc), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(q_id), F.col("cid").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    order = np.argsort(ids)
+    return ids[order], M[order]
+
+
+def cosine_topk_fast(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k with the corpus as a broadcast numpy matrix: one
+    matmul per Arrow batch. On a cluster the matrix rides the closure
+    (or SparkContext.broadcast) to every executor — the fact side
+    streams, nothing shuffles."""
+    ids, M = _collect_matrix(corpus, c_id, c_vec)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+    out_schema = f"{q_id} long, neighbor_id long, cosine double, rank int"
+
+    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.vstack(pdf[q_vec].to_numpy()).astype(np.float64)
+            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+            S = Qn @ Mn.T  # (batch, corpus)
+            qids = pdf[q_id].to_numpy()
+            if exclude_self:
+                for r, qid in enumerate(qids):
+                    hit = np.searchsorted(ids, qid)
+                    if hit < len(ids) and ids[hit] == qid:
+                        S[r, hit] = -np.inf
+            kk = min(k, S.shape[1])
+            # argpartition then exact sort of the head; ties → smaller id
+            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            rows = {q_id: [], "neighbor_id": [], "cosine": [], "rank": []}
+            for r in range(len(qids)):
+                cand = part[r]
+                order = np.lexsort((ids[cand], -S[r, cand]))
+                sel = cand[order]
+                rows[q_id].extend([qids[r]] * kk)
+                rows["neighbor_id"].extend(ids[sel])
+                rows["cosine"].extend(np.round(S[r, sel], 6))
+                rows["rank"].extend(range(1, kk + 1))
+            yield pd.DataFrame(rows)
+
+    return queries.select(q_id, q_vec).mapInPandas(topk, out_schema)
+
+
+def kmeans_centroids(
+    corpus: DataFrame, n_centroids: int, vec_col: str = "embedding",
+    sample: int = 4096, iters: int = 8, seed: int = 7,
+) -> np.ndarray:
+    """Lloyd's k-means on a driver-side sample (numpy). Centroid count
+    ~ sqrt(corpus) is the usual IVF sizing."""
+    pdf = corpus.select(vec_col).limit(sample).toPandas()
+    X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: shuffle the corpus once on its centroid list id, then
+    probe `nprobe` lists per query via an equi-join on list id — the
+    cross join never materializes. Approximate (recall < 1 when the
+    true neighbor lives in an unprobed list)."""
+    spark = queries.sparkSession
+    C = kmeans_centroids(corpus, n_centroids, c_vec)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def assign_lists(nprobe_n: int, id_name: str, vec_name: str):
+        out_schema = f"{id_name} long, list_id int, vec array<double>"
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.vstack(pdf[vec_name].to_numpy()).astype(np.float64)
+                Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+                S = Xn @ Cn.T
+                top = np.argsort(-S, axis=1)[:, :nprobe_n]
+                ids = pdf[id_name].to_numpy()
+                rows = {id_name: [], "list_id": [], "vec": []}
+                for r in range(len(ids)):
+                    for c in top[r]:
+                        rows[id_name].append(ids[r])
+                        rows["list_id"].append(int(c))
+                        rows["vec"].append(Xn[r])
+                yield pd.DataFrame(rows)
+
+        return gen, out_schema
+
+    cg, _ = assign_lists(1, "cid", c_vec)
+    corpus_lists = corpus.select(F.col(c_id).alias("cid"), c_vec).mapInPandas(
+        cg, "cid long, list_id int, vec array<double>"
+    )
+    qg, _ = assign_lists(nprobe, "qid", q_vec)
+    query_lists = queries.select(F.col(q_id).alias("qid"), q_vec).mapInPandas(
+        qg, "qid long, list_id int, vec array<double>"
+    )
+
+    j = (
+        query_lists.alias("q")
+        .join(corpus_lists.alias("c"), "list_id")
+        .filter(F.col("q.qid") != F.col("c.cid"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("q.vec"), F.col("c.vec"), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        j.select("qid", "cid", "cosine")
+        .dropDuplicates(["qid", "cid"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(q_id), F.col("cid").alias("neighbor_id"), "cosine", "rank")
+    )

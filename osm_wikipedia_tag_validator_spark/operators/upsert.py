@@ -1,0 +1,68 @@
+"""Snapshot upsert / dedup — W1/J2 of SURVEY.md §2.
+
+Reference: per-row SELECT-then-DELETE+INSERT keyed on (type, id, area)
+keeping the newest download (`load_osm_file.py:27-41`), plus stale-
+report invalidation (`script.py:191-255`). Here:
+
+  * `latest_per_key` — window dedup, the read-side MERGE equivalent.
+  * `merge_upsert` — full-outer MERGE between a base snapshot and a
+    delta batch (Iceberg MERGE INTO is the cluster-side realization;
+    this expresses the same plan over plain DataFrames).
+  * `invalidate_stale` — T2: rows whose stored report predates a newer
+    download lose their report (re-validation required).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "download_timestamp",
+) -> DataFrame:
+    """Keep the newest row per key. Deterministic tiebreak on all key
+    cols; shuffle is one hash exchange on the key (unavoidable for a
+    global dedup; at 100 TB bucket the table by the key to elide it)."""
+    key_cols = key_cols or ["type", "id"]
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(ts_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_upsert(
+    base: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "download_timestamp",
+) -> DataFrame:
+    """MERGE: delta wins when newer, base kept otherwise, inserts pass
+    through. Equivalent to Iceberg `MERGE INTO base USING delta ON keys
+    WHEN MATCHED AND delta.ts > base.ts THEN UPDATE * WHEN NOT MATCHED
+    THEN INSERT *`."""
+    key_cols = key_cols or ["type", "id"]
+    return latest_per_key(base.unionByName(delta), key_cols, ts_col)
+
+
+def invalidate_stale(
+    df: DataFrame,
+    new_download_ts_col: str = "new_download_timestamp",
+    ts_col: str = "download_timestamp",
+    report_cols: tuple[str, ...] = ("error_id", "report", "status"),
+) -> DataFrame:
+    """T2 (`script.py:232-255`): any row older than the area's new
+    download loses its stored report → status back to 'unchecked'."""
+    stale = F.col(ts_col) < F.col(new_download_ts_col)
+    out = df
+    for c in report_cols:
+        if c in df.columns and c != "status":
+            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+    if "status" in df.columns:
+        out = out.withColumn(
+            "status", F.when(stale, F.lit("unchecked")).otherwise(F.col("status"))
+        )
+    return out

@@ -1,0 +1,140 @@
+"""The flagship pipeline — M1 end-to-end slice (SURVEY.md §7.2).
+
+"For every image (element) with a wiki-tagged caption in region R,
+which polygon contains it, is its caption/tag link valid — emit the
+error-report rows for R, the per-tile assignments, and the rollup
+counts."
+
+Mirrors the reference's main loop `update_validator_database_and_reports`
+(`script.py:93-162`) but as one declarative DataFrame graph:
+
+  elements (fact)                             images (fact)
+     │ latest_per_key  (W1, load_osm_file.py:27-40)
+     │ relevance filter (P1/P2, load_osm_file.py:14-21)
+     │ cell encode → broadcast polygon cover join → PIP refine (J4/J5)
+     │ inside_declared_region flag
+     ├──────────────┐
+     validator cascade + wiki entity joins (V1+J1, script.py:318-347)
+     │              │
+  reports        tile assignment (north-star raster↔vector)
+     │              │
+  per-region rollups (A1/A2) + merged-parent rollups (J8)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..datagen import world as W
+from ..operators import spatial_join as SJ
+from ..operators import tiles as TI
+from ..operators import upsert as UP
+from ..operators import validator as V
+
+DEFAULT_TILE_Z = 8
+
+
+def build_inputs(spark, n_elements: int = 2000) -> dict[str, DataFrame]:
+    return {
+        "elements": W.spark_elements(spark, n_elements),
+        "images": W.spark_images(spark, min(n_elements, 2000)),
+        "polygons": W.spark_polygons(spark),
+        "regions": W.spark_regions(spark),
+        "wiki": W.spark_wiki_entities(spark),
+        "error_catalog": W.spark_error_catalog(spark),
+    }
+
+
+def validated_elements(inputs: dict[str, DataFrame], res: int = SJ.DEFAULT_RES) -> DataFrame:
+    """Latest snapshot per element → containment flag → validator."""
+    latest = UP.latest_per_key(inputs["elements"])
+    tagged = SJ.point_in_polygon_tag(latest, inputs["polygons"], res=res)
+    flagged = tagged.withColumn(
+        "inside_declared_region",
+        # unassigned elements have no declared region to contradict
+        F.when(F.col("area_identifier") == "unassigned", F.lit(True)).otherwise(
+            F.coalesce(F.col("containing_region") == F.col("area_identifier"), F.lit(False))
+        ),
+    )
+    return V.validate(
+        flagged,
+        inputs["wiki"],
+        inputs["regions"],
+        inside_region_col="inside_declared_region",
+    )
+
+
+def error_reports(validated: DataFrame, regions: DataFrame) -> DataFrame:
+    """Per-region report rows, hidden regions dropped (P9,
+    `script.py:109-111`), deterministic order (O2,
+    `generate_webpage_with_error_output.py:78`)."""
+    return (
+        validated.filter(F.col("status") == "error")
+        .filter(~F.coalesce(F.col("hidden"), F.lit(False)))
+        .select(
+            "area_identifier",
+            "type",
+            "id",
+            "error_id",
+            "osm_object_url",
+            "report",
+        )
+        .orderBy("area_identifier", "osm_object_url")
+    )
+
+
+def region_rollup(validated: DataFrame, regions: DataFrame, error_catalog: DataFrame) -> DataFrame:
+    """A1 per-region review counts + J8 merged-parent rollup
+    (`generate_webpage_with_error_output.py:1268-1278, 1180-1188`)."""
+    review_ids = error_catalog.filter(F.col("category") == "review").select("error_id")
+    errs = validated.join(F.broadcast(review_ids), "error_id")
+    per_region = errs.groupBy("area_identifier").agg(F.count(F.lit(1)).alias("review_count"))
+    parents = regions.select(
+        F.col("internal_region_name").alias("area_identifier"),
+        F.explode_outer("merged_into").alias("parent"),
+    )
+    merged = (
+        per_region.join(F.broadcast(parents), "area_identifier", "left")
+        .filter(F.col("parent").isNotNull())
+        .groupBy(F.col("parent").alias("area_identifier"))
+        .agg(F.sum("review_count").alias("review_count"))
+    )
+    return per_region.unionByName(merged).orderBy("area_identifier")
+
+
+def image_tile_assignments(
+    images: DataFrame, elements_validated: DataFrame, polygons: DataFrame, z: int = DEFAULT_TILE_Z
+) -> DataFrame:
+    """Join images to their element's location+validation lineage, then
+    raster-tile↔vector assignment. image_id encodes the element id
+    (FIXTURES.md §1)."""
+    img = images.withColumn(
+        "element_id", F.regexp_extract("image_id", r"img-0*([0-9]+)", 1).cast("long")
+    )
+    lineage = elements_validated.select(
+        F.col("id").alias("element_id"), "lon", "lat", "error_id", "status", "caption_region"
+    ) if "caption_region" in elements_validated.columns else elements_validated.select(
+        F.col("id").alias("element_id"), "lon", "lat", "error_id", "status"
+    )
+    joined = img.join(lineage, "element_id")
+    tiled = TI.assign_tiles(joined, z)
+    hits = SJ.point_in_polygon_join(tiled, polygons)
+    return hits.select(
+        "image_id", "element_id", "tile_id", "tile_x", "tile_y", "cell",
+        "polygon_id", "region", "caption", "error_id", "status",
+    )
+
+
+def run_flagship(spark, n_elements: int = 2000, res: int = SJ.DEFAULT_RES) -> dict[str, DataFrame]:
+    inputs = build_inputs(spark, n_elements)
+    validated = validated_elements(inputs, res=res)
+    reports = error_reports(validated, inputs["regions"])
+    rollup = region_rollup(validated, inputs["regions"], inputs["error_catalog"])
+    tiles = image_tile_assignments(inputs["images"], validated, inputs["polygons"])
+    return {
+        "inputs": inputs,
+        "validated": validated,
+        "reports": reports,
+        "rollup": rollup,
+        "tiles": tiles,
+    }
