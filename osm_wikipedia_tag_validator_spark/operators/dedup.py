@@ -207,12 +207,16 @@ def simhash_pairs(
         F.col(id_col).alias("id"),
         "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.struct(
-                    i.alias("chunk"),
-                    F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ck"),
+                    )
+                    for i in range(4)
+                ]
             )
         ).alias("c"),
     ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))

@@ -152,9 +152,10 @@ def knn_kring(
         kr = _kring_udf(res, ring)
         cand = (
             remaining.withColumn("_cells", kr(F.col("_q_lon"), F.col("_q_lat")))
-            .withColumn("_e_cell", F.explode("_cells"))
+            .withColumn("_e_cell", F.explode(F.array_distinct("_cells")))
             .drop("_cells")
             .join(ent, "_e_cell")
+            .dropDuplicates(["_q_key", "_e_key"])
             .withColumn(
                 "dist_km",
                 haversine_col(
