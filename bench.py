@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver-run, per round):
+  runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+  /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+  JSON line: {"metric", "value", "unit", "queries", "sf", ...extras}.
+
+Scaling mode (`python bench.py --scaling`):
+  runs the flagship spatial pipeline at two parallelism levels —
+  local[8] (N) and local[32] (4N) — in fresh subprocesses on identical
+  input, reports throughput at both and the scaling efficiency
+  (T_N / T_4N) / 4, and rewrites the evidence section of BENCH.md.
+  This is the sandbox realization of the north rule's two-cluster-size
+  criterion (no real cluster available here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline queries: one per operator family (SURVEY.md §2)
+HEADLINE = [
+    "pricing_summary",        # hash agg
+    "broadcast_join_revenue", # broadcast equi-join
+    "latest_order_per_customer",  # window dedup (W1)
+    "topk_per_group",         # window top-k (W3)
+    "sessionize",             # gap sessionization
+    "cell_encode",            # DGG encode (spatial, codegen)
+    "tile_assign",            # XYZ tiling
+    "bbox_join",              # spatial range join
+    "pip_convex",             # cell-cover + ray-cast PIP
+    "knn",                    # kNN brute-force physical op
+    "knn_kring",              # kNN via cell index
+    "token_count",            # text natives
+    "quality_score",          # text quality
+    "fingerprint",            # exact-dedup hash
+    "minhash_pairs",          # MinHash LSH near-dup
+    "simhash_pairs",          # SimHash near-dup
+    "embedding_topk",         # ANN brute-force baseline
+    "ann_ivf",                # ANN IVF path
+]
+
+FLAGSHIP_ELEMENTS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_N", "60000"))
+FLAGSHIP_IMAGES = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_IMG", "12000"))
+
+
+def _sf_from_dir(d: str) -> float:
+    try:
+        return float(d.rstrip("/").split("sf")[-1])
+    except ValueError:
+        return -1.0
+
+
+def run_flagship(spark, n_elements: int, n_images: int) -> dict:
+    """The engine's identity job: distributed datagen → latest-per-key
+    dedup → cell-cover PIP join → validator cascade → reports/rollup →
+    image tile assignment. Returns row counts + timing."""
+    from pyspark.sql import functions as F
+
+    from osm_wikipedia_tag_validator_spark.datagen import world as W
+    from osm_wikipedia_tag_validator_spark.plans import pipeline as P
+
+    t0 = time.time()
+    inputs = {
+        "elements": W.spark_elements(spark, n_elements),
+        "images": W.spark_images(spark, n_images),
+        "polygons": W.spark_polygons(spark),
+        "regions": W.spark_regions(spark),
+        "wiki": W.spark_wiki_entities(spark),
+        "error_catalog": W.spark_error_catalog(spark),
+    }
+    validated = P.validated_elements(inputs)
+    n_reports = P.error_reports(validated, inputs["regions"]).count()
+    rollup_rows = P.region_rollup(validated, inputs["regions"], inputs["error_catalog"]).count()
+    tiles = P.image_tile_assignments(inputs["images"], validated, inputs["polygons"])
+    n_tiles = tiles.count()
+    wall = time.time() - t0
+    return {
+        "wall_sec": wall,
+        "n_reports": n_reports,
+        "rollup_rows": rollup_rows,
+        "tile_rows": n_tiles,
+        "images_per_sec": n_images / wall,
+        "elements_per_sec": n_elements / wall,
+    }
+
+
+def run_default() -> dict:
+    from osm_wikipedia_tag_validator_spark.plans import oracle_queries as OQ
+    from osm_wikipedia_tag_validator_spark.session import get_spark
+
+    spark = get_spark(cores=CPUS, shuffle_partitions=max(32, CPUS))
+    qs = OQ.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+
+    flag = run_flagship(spark, FLAGSHIP_ELEMENTS, FLAGSHIP_IMAGES)
+    timings["flagship_spatial"] = round(flag["wall_sec"], 3)
+    total += flag["wall_sec"]
+
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "cpus": CPUS,
+        "flagship_images_per_sec": round(flag["images_per_sec"], 1),
+        "flagship_elements_per_sec": round(flag["elements_per_sec"], 1),
+        "flagship_rows": {
+            "reports": flag["n_reports"],
+            "rollup": flag["rollup_rows"],
+            "tiles": flag["tile_rows"],
+        },
+    }
+
+
+def _scaling_child(cores: int) -> None:
+    from osm_wikipedia_tag_validator_spark.session import get_spark
+
+    n_elem = int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000"))
+    n_img = int(os.environ.get("SPARK_GRAFT_SCALE_IMG", "50000"))
+    spark = get_spark(cores=cores, shuffle_partitions=cores * 2)
+    # warm the JVM/Python workers with a tiny run so the measured run
+    # is compute, not interpreter startup
+    run_flagship(spark, 2000, 500)
+    out = run_flagship(spark, n_elem, n_img)
+    out["cores"] = cores
+    print("SCALING_RESULT " + json.dumps(out))
+
+
+def run_scaling() -> dict:
+    results = {}
+    for cores in (8, 32):
+        p = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(cores)],
+            capture_output=True, text=True, timeout=3000,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("SCALING_RESULT ")]
+        if not line:
+            print(p.stdout[-3000:], file=sys.stderr)
+            print(p.stderr[-3000:], file=sys.stderr)
+            raise RuntimeError(f"scaling child cores={cores} failed")
+        results[cores] = json.loads(line[-1].removeprefix("SCALING_RESULT "))
+    t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
+    eff = (t8 / t32) / 4.0
+    summary = {
+        "metric": "scaling_efficiency_local8_vs_local32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            "flagship_local8_sec": round(t8, 2),
+            "flagship_local32_sec": round(t32, 2),
+        },
+        "sf": -1.0,
+        "throughput_images_per_sec": {
+            "local8": round(results[8]["images_per_sec"], 1),
+            "local32": round(results[32]["images_per_sec"], 1),
+        },
+        "n_elements": int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000")),
+    }
+    _write_bench_md(summary)
+    return summary
+
+
+def _write_bench_md(s: dict) -> None:
+    md = f"""# BENCH — scaling evidence (two parallelism levels)
+
+North-rule criterion: throughput scaling efficiency ≥ 0.8 between N
+and 4N executors. No real cluster exists in this sandbox, so the same
+flagship spatial job (distributed datagen → latest-per-key dedup →
+cell-cover PIP join → validator cascade → reports/rollup → raster-tile
+assignment over {s['n_elements']} elements) runs at `local[8]` (N)
+and `local[32]` (4N cores) on identical input.
+
+| parallelism | wall (s) | images/sec |
+|---|---|---|
+| local[8]  | {s['queries']['flagship_local8_sec']} | {s['throughput_images_per_sec']['local8']} |
+| local[32] | {s['queries']['flagship_local32_sec']} | {s['throughput_images_per_sec']['local32']} |
+
+**Scaling efficiency = (T_8 / T_32) / 4 = {s['value']}**
+
+Generated by `python bench.py --scaling`.
+"""
+    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
+        _scaling_child(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_default()))

@@ -249,26 +249,25 @@ def gen_elements_batch(ids: np.ndarray) -> pd.DataFrame:
     # member points for ways/relations: 4 points around center, ~10%
     # have one point pushed far outside (fails all-inside containment,
     # `osm_editor_bot_for_approved_tasks.py:188-196`)
-    member_points = []
     is_multi = etype != "node"
     far = u01(hash2(h, 17)) < 0.1
-    for i in range(len(ids)):
-        if not is_multi[i]:
-            member_points.append(None)
-            continue
-        pts = []
-        for j in range(4):
-            dx = (u01(hash2(h[i : i + 1], 100 + j))[0] - 0.5) * 0.1
-            dy = (u01(hash2(h[i : i + 1], 200 + j))[0] - 0.5) * 0.1
-            pts.append(
-                {
-                    "lon": float(_quantize(np.array([lon[i] + dx]))[0]),
-                    "lat": float(_quantize(np.array([lat[i] + dy]))[0]),
-                }
-            )
-        if far[i]:
-            pts[0] = {"lon": float(lon[i]) + 50.0, "lat": float(lat[i])}
-        member_points.append(pts)
+    mp_lon = np.stack(
+        [_quantize(lon + (u01(hash2(h, 100 + j)) - 0.5) * 0.1) for j in range(4)], axis=1
+    )
+    mp_lat = np.stack(
+        [_quantize(lat + (u01(hash2(h, 200 + j)) - 0.5) * 0.1) for j in range(4)], axis=1
+    )
+    mp_lon[far, 0] = lon[far] + 50.0
+    mp_lat[far, 0] = lat[far]
+    member_points = [
+        [
+            {"lon": float(mp_lon[i, j]), "lat": float(mp_lat[i, j])}
+            for j in range(4)
+        ]
+        if is_multi[i]
+        else None
+        for i in range(len(ids))
+    ]
 
     base = pd.DataFrame(
         {

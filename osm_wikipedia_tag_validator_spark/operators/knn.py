@@ -52,24 +52,86 @@ def knn_bruteforce(
     q_lat: str = "lat",
     e_lon: str = "lon",
     e_lat: str = "lat",
+    max_inline_entities: int = 2_000_000,
 ) -> DataFrame:
-    """Exact kNN via broadcast nested-loop + window re-rank.
+    """Exact kNN against a broadcastable entity side — ZERO shuffle.
 
-    Right plan when |entities| is broadcastable (the wiki-article dim);
-    the fact side streams through codegen without shuffling. Output:
-    (q_key, e_key, dist_km, rank).
+    The entity set is collected to one numpy matrix and rides into a
+    mapInPandas stage (on a cluster: a SparkContext.broadcast /
+    closure); each Arrow batch of query points does one vectorized
+    haversine against the whole matrix + argpartition top-k. The 100 TB
+    fact side streams map-side; nothing shuffles and no |Q|×|E| rows
+    ever materialize. Falls back to cross-join + window re-rank when
+    the entity side is too large to broadcast.
+
+    Ties broken by (dist, entity_key) ascending — matches the SQL
+    oracle's ORDER BY dist, key. Output: (q_key, e_key, dist_km, rank).
     """
+    import pandas as pd
+
+    from ..functions.geometry import haversine_km
+
+    ent_pdf = (
+        entities.select(
+            F.col(e_key).alias("k"), F.col(e_lon).alias("lon"), F.col(e_lat).alias("lat")
+        )
+        .toPandas()
+        .sort_values("k")
+    )
+    q = queries.select(
+        F.col(q_key).alias("_q_key"),
+        F.col(q_lon).alias("_q_lon"),
+        F.col(q_lat).alias("_q_lat"),
+    )
+    if len(ent_pdf) > max_inline_entities:
+        return _knn_crossjoin_window(q, entities, k, q_key, e_key, e_lon, e_lat)
+    e_keys = ent_pdf["k"].to_numpy()
+    e_lons = ent_pdf["lon"].to_numpy(dtype=np.float64)
+    e_lats = ent_pdf["lat"].to_numpy(dtype=np.float64)
+    kk = min(k, len(e_keys))
+
+    key_field = [f for f in queries.select(q_key).schema.fields][0]
+    out_schema = (
+        f"{q_key} {key_field.dataType.simpleString()}, "
+        f"{e_key} {entities.select(e_key).schema.fields[0].dataType.simpleString()}, "
+        "dist_km double, rank int"
+    )
+
+    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qlon = pdf["_q_lon"].to_numpy(dtype=np.float64)
+            qlat = pdf["_q_lat"].to_numpy(dtype=np.float64)
+            # (batch, entities) distance matrix, vectorized
+            D = haversine_km(
+                qlon[:, None], qlat[:, None], e_lons[None, :], e_lats[None, :]
+            )
+            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            rows_q, rows_e, rows_d, rows_r = [], [], [], []
+            qkeys = pdf["_q_key"].to_numpy()
+            for r in range(len(pdf)):
+                cand = part[r]
+                order = np.lexsort((e_keys[cand], D[r, cand]))
+                sel = cand[order]
+                rows_q.extend([qkeys[r]] * kk)
+                rows_e.extend(e_keys[sel])
+                rows_d.extend(D[r, sel])
+                rows_r.extend(range(1, kk + 1))
+            yield pd.DataFrame(
+                {q_key: rows_q, e_key: rows_e, "dist_km": rows_d, "rank": rows_r}
+            )
+
+    return q.mapInPandas(topk, out_schema)
+
+
+def _knn_crossjoin_window(q, entities, k, q_key, e_key, e_lon, e_lat) -> DataFrame:
     e = F.broadcast(
         entities.select(
             F.col(e_key).alias("_e_key"),
             F.col(e_lon).alias("_e_lon"),
             F.col(e_lat).alias("_e_lat"),
         )
-    )
-    q = queries.select(
-        F.col(q_key).alias("_q_key"),
-        F.col(q_lon).alias("_q_lon"),
-        F.col(q_lat).alias("_q_lat"),
     )
     d = q.crossJoin(e).withColumn(
         "dist_km",
@@ -99,24 +161,34 @@ def _kring_udf(res: int, k: int):
 
 
 def _ring_min_dist_col(res: int, explored_ring: int, q_lat: Column) -> Column:
-    """Per-query lower bound (km) on the distance to any cell NOT yet
-    explored (Chebyshev distance > explored_ring). The point sits
-    somewhere in its own cell, so the nearest unexplored cell edge is
-    ≥ explored_ring cell extents away. Latitude extent is constant on
-    this grid; longitude extent shrinks by cos(lat) — take the min via
-    the worst latitude the query's own band reaches."""
-    cell_deg = 180.0 / (1 << res)
+    """Per-query lower bound (km) on the distance to any point in a
+    cell NOT yet explored (Chebyshev distance > explored_ring = r).
+
+    Wall argument: an unexplored point either escapes vertically
+    (≥ r cell heights → r·cell_km, latitude extent is constant on this
+    grid) or stays within the band and escapes horizontally (≥ r cell
+    widths at a latitude within |q_lat| ± (r+1) cells → shrink by
+    cos of the band extremity). When the ring already wraps every
+    longitude column ((2r+1) ≥ 2^res), no east/west wall exists and
+    only the vertical term applies — this is what makes coarse
+    resolutions converge."""
+    r = explored_ring
+    n = 1 << res
+    cell_deg = 180.0 / n
     km_per_deg = 2 * np.pi * EARTH_R_KM / 360.0
-    cos_term = F.cos(F.radians(F.least(F.abs(q_lat) + F.lit(cell_deg), F.lit(89.999))))
-    shrink = F.least(F.lit(1.0), cos_term)
-    return F.lit(float(explored_ring * cell_deg * km_per_deg)) * shrink
+    vertical = F.lit(float(r * cell_deg * km_per_deg))
+    if (2 * r + 1) >= n:
+        return vertical
+    band_edge = F.least(F.abs(q_lat) + F.lit((r + 1) * cell_deg), F.lit(89.999))
+    shrink = F.greatest(F.cos(F.radians(band_edge)), F.lit(0.0))
+    return vertical * F.least(F.lit(1.0), shrink)
 
 
 def knn_kring(
     queries: DataFrame,
     entities: DataFrame,
     k: int,
-    res: int = 6,
+    res: int | None = None,
     initial_ring: int = 1,
     max_ring: int = 64,
     q_key: str = "id",
@@ -131,21 +203,31 @@ def knn_kring(
     equi-join (shuffle hash / sort-merge on cell), never a cross join.
 
     Escalation loop runs on the driver over a shrinking query set;
-    each round is one Spark job. Rounds grow the ring geometrically.
+    each round is one Spark job over CACHED inputs (no lineage
+    recompute). Rounds grow the ring geometrically.
+
+    res=None picks the resolution from entity density so a k-ring of
+    1-2 is expected to hold ≳4k entities: res = ½·log2(n/(4k)). Too
+    fine a grid on a sparse entity set needs huge rings (slow); too
+    coarse degenerates to brute force per cell.
     """
-    spark = queries.sparkSession
     ent = entities.select(
         F.col(e_key).alias("_e_key"),
         F.col(e_lon).alias("_e_lon"),
         F.col(e_lat).alias("_e_lat"),
-    ).withColumn("_e_cell", C.cell_col(F.col("_e_lon"), F.col("_e_lat"), res)).cache()
-    ent.count()
+    ).cache()
+    n_ent = ent.count()
+    if res is None:
+        import math
+
+        res = max(0, min(C.MAX_RES, int(0.5 * math.log2(max(n_ent / (4 * k), 1)))))
+    ent = ent.withColumn("_e_cell", C.cell_col(F.col("_e_lon"), F.col("_e_lat"), res))
 
     remaining = queries.select(
         F.col(q_key).alias("_q_key"),
         F.col(q_lon).alias("_q_lon"),
         F.col(q_lat).alias("_q_lat"),
-    )
+    ).cache()
     results = None
     ring = initial_ring
     while True:
@@ -164,10 +246,14 @@ def knn_kring(
             )
         )
         w = Window.partitionBy("_q_key").orderBy(F.asc("dist_km"), F.asc("_e_key"))
+        # localCheckpoint: materialize this round's candidates once —
+        # converged-split, anti-join and the result union all reuse it
+        # without recomputing the join lineage next round.
         topk = (
             cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("_q_key", "_q_lon", "_q_lat", "_e_key", "dist_km", "rank")
+            .localCheckpoint()
         )
         # a query is converged iff it found k neighbors AND its kth
         # distance is < the lower bound of the nearest UNEXPLORED cell
@@ -194,10 +280,13 @@ def knn_kring(
             )
             results = results.unionByName(rest)
             break
-        n_left = remaining.join(converged_keys, "_q_key", "left_anti").limit(1).count()
-        if n_left == 0:
+        new_remaining = remaining.join(
+            converged_keys, "_q_key", "left_anti"
+        ).localCheckpoint()
+        remaining.unpersist()
+        if new_remaining.isEmpty():
             break
-        remaining = remaining.join(converged_keys, "_q_key", "left_anti")
+        remaining = new_remaining
         ring = min(ring * 2, max_ring)
     ent.unpersist()
     return results
