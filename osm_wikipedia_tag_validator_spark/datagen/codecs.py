@@ -54,7 +54,7 @@ def png_encode(img: np.ndarray) -> bytes:
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IDAT", zlib.compress(raw, 1))
         + _chunk(b"IEND", b"")
     )
 

@@ -339,15 +339,25 @@ def gen_images_batch(ids: np.ndarray) -> pd.DataFrame:
 
     elements = gen_elements_batch(ids)
     # keep only first generation per id for caption linkage
-    elements = elements.drop_duplicates(subset=["id"], keep="first").set_index("id")
+    first_gen = elements.drop_duplicates(subset=["id"], keep="first")
+    tags_by_id = dict(zip(first_gen["id"].to_numpy(), first_gen["tags"]))
+
+    # base gradient per (h, w) combo, computed once per batch
+    base_cache: dict[tuple[int, int], np.ndarray] = {}
+
+    def _base(ht: int, w: int) -> np.ndarray:
+        key = (ht, w)
+        if key not in base_cache:
+            gy = np.arange(ht, dtype=np.float64)[:, None]
+            gx = np.arange(w, dtype=np.float64)[None, :]
+            base_cache[key] = (gy * 255 / max(ht - 1, 1) + gx * 255 / max(w - 1, 1)) / 2
+        return base_cache[key]
 
     rows = []
     for i, eid in enumerate(ids):
         w, ht = int(wsel[i]), int(hsel[i])
         hh = int(h[i])
-        gy = np.arange(ht, dtype=np.float64)[:, None]
-        gx = np.arange(w, dtype=np.float64)[None, :]
-        base = (gy * 255 / max(ht - 1, 1) + gx * 255 / max(w - 1, 1)) / 2
+        base = _base(ht, w)
         img = np.stack(
             [
                 (base + (hh & 0xFF)) % 256,
@@ -358,7 +368,7 @@ def gen_images_batch(ids: np.ndarray) -> pd.DataFrame:
         ).astype(np.uint8)
         data = encode_image(img, str(fmt[i]))
         decoded = decode_image(data)
-        tags = elements.loc[int(eid), "tags"]
+        tags = tags_by_id[int(eid)]
         caption = ""
         for k in WIKI_KEYS:
             if k in tags:
@@ -407,19 +417,21 @@ WIKI_SCHEMA = (
 )
 
 
+def _id_range(spark, n: int):
+    # 4 slices per core: stragglers rebalance without a shuffle
+    parts = max(spark.sparkContext.defaultParallelism, 8) * 4
+    return spark.range(n, numPartitions=min(parts, max(n // 1000, 1)))
+
+
 def spark_elements(spark, n: int):
-    return (
-        spark.range(n)
-        .repartition(max(spark.sparkContext.defaultParallelism, 8))
-        .mapInPandas(lambda it: (gen_elements_batch(p["id"].to_numpy()) for p in it), ELEMENTS_SCHEMA)
+    return _id_range(spark, n).mapInPandas(
+        lambda it: (gen_elements_batch(p["id"].to_numpy()) for p in it), ELEMENTS_SCHEMA
     )
 
 
 def spark_images(spark, n: int):
-    return (
-        spark.range(n)
-        .repartition(max(spark.sparkContext.defaultParallelism, 8))
-        .mapInPandas(lambda it: (gen_images_batch(p["id"].to_numpy()) for p in it), IMAGES_SCHEMA)
+    return _id_range(spark, n).mapInPandas(
+        lambda it: (gen_images_batch(p["id"].to_numpy()) for p in it), IMAGES_SCHEMA
     )
 
 

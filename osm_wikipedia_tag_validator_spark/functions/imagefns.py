@@ -20,8 +20,14 @@ def luma(img: np.ndarray) -> np.ndarray:
 
 
 def block_mean_resize(plane: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Area-style downsample via index-binned means (handles any size)."""
+    """Area-style downsample via index-binned means (handles any size).
+
+    Fast path for exact-multiple sizes (reshape-mean — identical result
+    to the binned mean since bin edges align); general path otherwise.
+    """
     h, w = plane.shape
+    if h % out_h == 0 and w % out_w == 0:
+        return plane.reshape(out_h, h // out_h, out_w, w // out_w).mean(axis=(1, 3))
     ys = (np.arange(h) * out_h // h).astype(np.int64)
     xs = (np.arange(w) * out_w // w).astype(np.int64)
     out = np.zeros((out_h, out_w), dtype=np.float64)
@@ -42,9 +48,7 @@ def ahash64(img: np.ndarray) -> int:
     """64-bit average hash of an RGB image. Deterministic."""
     g = block_mean_resize(luma(img), 8, 8)
     bits = (g > g.mean()).ravel()
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     # reinterpret as signed int64 for Spark LongType
     return v - (1 << 64) if v >= (1 << 63) else v
 

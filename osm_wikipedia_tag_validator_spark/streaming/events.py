@@ -1,0 +1,71 @@
+"""Structured Streaming realization of the reference's incremental loop.
+
+The reference is batch-polling with watermarks (SURVEY.md §2.10): per
+area it asks Overpass for elements `newer:` than the stored max
+timestamp (`obtain_from_overpass.py:53-75`, `database.py:52-59`). The
+streaming-native equivalent: a file/rate source → event-time windowed
+aggregation with a watermark for late data → incremental sink.
+
+These wrappers are exercised by tests with a file source over the
+driver's events table re-written as micro-batch files; on a cluster
+the source would be Kafka/Iceberg-CDC, everything else unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def stream_events_from_files(
+    spark: SparkSession, path: str, schema: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-based micro-batch source (T8 throttling ↔
+    maxFilesPerTrigger)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark (T1/T2:
+    late rows update their window until the watermark passes, then the
+    state is dropped — the streaming analog of the reference's
+    stale-report invalidation, `script.py:232-255`)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def latest_state_per_key(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming dedup-to-latest (W1/J2 as a stream): keep the newest
+    event per user within the watermark horizon via dropDuplicates on
+    monotonic state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str,
+                         timeout_sec: float = 60.0, output_mode: str = "append"):
+    """Drive a streaming query to completion of all available input
+    (processAllAvailable) into an in-memory sink table; returns the
+    final table DataFrame. Test/bench harness helper."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,67 @@
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from osm_wikipedia_tag_validator_spark.datagen import codecs
+from osm_wikipedia_tag_validator_spark.functions import imagefns
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=50, deadline=None)
+def test_png_roundtrip_lossless(h, w, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (codecs.png_decode(codecs.png_encode(img)) == img).all()
+
+
+def test_fake_jpeg_lossy_but_above_psnr_bar():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    dec = codecs.fake_jpeg_decode(codecs.fake_jpeg_encode(img))
+    assert not (dec == img).all()  # genuinely lossy
+    assert codecs.psnr(img, dec) >= 40.0  # input_hint invariant
+
+
+def test_psnr_identical_is_inf():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    assert codecs.psnr(img, img) == float("inf")
+
+
+def test_decode_dispatch_and_errors():
+    img = np.full((4, 4, 3), 7, dtype=np.uint8)
+    assert codecs.decode_image(codecs.encode_image(img, "png")).shape == (4, 4, 3)
+    assert codecs.decode_image(codecs.encode_image(img, "jpeg")).shape == (4, 4, 3)
+    with pytest.raises(ValueError):
+        codecs.decode_image(b"garbage")
+    with pytest.raises(ValueError):
+        codecs.encode_image(img, "webp")
+
+
+def test_png_is_spec_valid_signature_and_chunks():
+    img = np.zeros((2, 3, 3), dtype=np.uint8)
+    data = codecs.png_encode(img)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b"IHDR" in data and b"IDAT" in data and data.endswith(
+        b"IEND" + (0xAE426082).to_bytes(4, "big")
+    )
+
+
+def test_ahash_stability_and_locality():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    h1 = imagefns.ahash64(img)
+    assert h1 == imagefns.ahash64(img.copy())
+    # small perturbation → small hamming distance
+    pert = img.astype(np.int16) + rng.integers(-3, 4, size=img.shape)
+    h2 = imagefns.ahash64(np.clip(pert, 0, 255).astype(np.uint8))
+    assert imagefns.hamming64(np.array([h1]), np.array([h2]))[0] <= 8
+
+
+def test_popcount64():
+    assert imagefns.popcount64(np.array([0]))[0] == 0
+    assert imagefns.popcount64(np.array([0xFFFFFFFFFFFFFFFF], dtype=np.uint64))[0] == 64
+    assert imagefns.popcount64(np.array([0b1011], dtype=np.uint64))[0] == 3

@@ -1,0 +1,127 @@
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_wikipedia_tag_validator_spark.datagen import world as W
+from osm_wikipedia_tag_validator_spark.operators import reports as R
+from osm_wikipedia_tag_validator_spark.plans import pipeline as P
+from osm_wikipedia_tag_validator_spark.streaming.checkpoint import (
+    CheckpointLedger,
+    ResumableJob,
+)
+
+
+@pytest.fixture(scope="module")
+def flagship(spark):
+    out = P.run_flagship(spark, n_elements=600)
+    out["validated"] = out["validated"].cache()
+    return out
+
+
+def test_report_pages_routing_and_order(flagship):
+    pages = R.report_pages(flagship["validated"], flagship["inputs"]["error_catalog"]).toPandas()
+    assert set(pages["category"]) <= {"obvious", "review", "tests", "ignored", "unknown"}
+    assert "unknown" not in set(pages["category"])  # every error routed (note_unused_errors)
+    for (_, _), grp in pages.groupby(["area_identifier", "error_id"]):
+        urls = grp.sort_values("row_in_class")["osm_object_url"].tolist()
+        assert urls == sorted(urls)
+
+
+def test_index_rollup_hides_hidden(flagship):
+    idx = R.index_rollup(
+        flagship["validated"], flagship["inputs"]["regions"], flagship["inputs"]["error_catalog"]
+    ).toPandas()
+    assert "epsilon" not in set(idx["area_identifier"])  # hidden region
+    assert (idx["problem_count"] >= 0).all()
+    assert idx["completed"].eq(idx["problem_count"] == 0).all()
+
+
+def test_overpass_query_sink(flagship):
+    pages = R.report_pages(flagship["validated"], flagship["inputs"]["error_catalog"])
+    q = R.overpass_query_sink(pages).toPandas()
+    assert len(q) > 0
+    sample = q["overpass_query"].iloc[0]
+    assert sample.startswith("[out:xml][timeout:1000];")
+    assert sample.endswith("out meta;")
+    assert "node(" in sample or "way(" in sample or "relation(" in sample
+
+
+def test_geojson_sink(flagship):
+    pages = R.report_pages(flagship["validated"], flagship["inputs"]["error_catalog"])
+    pts = flagship["validated"].select("type", "id", "lon", "lat")
+    # reports carry type/id? re-derive from validated
+    reps = flagship["validated"].filter(F.col("status") == "error").select(
+        "area_identifier", "error_id", "osm_object_url", "report", "type", "id"
+    )
+    gj = R.geojson_task_sink(reps, pts).toPandas()
+    assert len(gj) > 0
+    f = json.loads(gj["feature_json"].iloc[0])
+    assert f["type"] == "Feature"
+    assert f["geometry"]["type"] == "Point"
+    assert len(f["geometry"]["coordinates"]) == 2
+    assert "@id" in f["properties"]
+
+
+def test_sync_tasks_two_way(spark, flagship):
+    reps = flagship["validated"].filter(F.col("status") == "error").select("osm_object_url").distinct()
+    existing = reps.limit(5).unionByName(
+        spark.createDataFrame([("https://www.openstreetmap.org/node/99999999",)], "osm_object_url string")
+    )
+    to_add, to_remove = R.sync_tasks(reps, existing)
+    assert to_add.count() == reps.count() - 5
+    assert to_remove.toPandas()["osm_object_url"].tolist() == [
+        "https://www.openstreetmap.org/node/99999999"
+    ]
+
+
+def test_prerequisite_recheck(spark):
+    reps = spark.createDataFrame(
+        [("node", 1, {"error_id": "e", "prerequisite": {"wikipedia": "en:X"}})],
+        "type string, id long, report struct<error_id:string, prerequisite:map<string,string>>",
+    )
+    live_ok = spark.createDataFrame([("node", 1, {"wikipedia": "en:X", "name": "n"})],
+                                    "type string, id long, tags map<string,string>")
+    live_changed = spark.createDataFrame([("node", 1, {"wikipedia": "en:Y"})],
+                                         "type string, id long, tags map<string,string>")
+    assert R.prerequisite_still_holds(reps, live_ok).toPandas()["prerequisite_holds"].iloc[0]
+    assert not R.prerequisite_still_holds(reps, live_changed).toPandas()["prerequisite_holds"].iloc[0]
+
+
+def test_resumable_job_skips_completed(spark, tmp_path):
+    ledger = CheckpointLedger(str(tmp_path / "ledger"))
+    out = str(tmp_path / "out")
+    calls = []
+
+    def process(p):
+        calls.append(p)
+        return spark.range(10).withColumn("region", F.lit(p))
+
+    job = ResumableJob("validate", ledger, out)
+    res1 = job.run(["alpha", "beta"], process)
+    assert calls == ["alpha", "beta"]
+    assert all(not r["skipped"] for r in res1)
+    # metrics present
+    m = ledger.metrics_df(spark).toPandas()
+    assert set(m["partition"]) == {"alpha", "beta"}
+    assert (m["rows_per_sec"] > 0).all()
+    # resume: nothing reruns, new partition runs
+    job2 = ResumableJob("validate", ledger, out)
+    res2 = job2.run(["alpha", "beta", "gamma"], process)
+    assert calls == ["alpha", "beta", "gamma"]
+    skipped = {r["partition"] for r in res2 if r.get("skipped")}
+    assert skipped == {"alpha", "beta"}
+    # data written once per partition
+    df = spark.read.parquet(os.path.join(out, "partition=gamma"))
+    assert df.count() == 10
+
+
+def test_ledger_watermark(tmp_path):
+    ledger = CheckpointLedger(str(tmp_path / "wm"))
+    ledger.commit("dl", "alpha", 5, 1.0, watermark_ts=100)
+    ledger.commit("dl", "alpha", 7, 1.0, watermark_ts=250)
+    ledger.commit("dl", "beta", 7, 1.0, watermark_ts=50)
+    assert ledger.watermark("dl", "alpha") == 250
+    assert ledger.watermark("dl", "beta") == 50
+    assert ledger.watermark("dl", "missing") is None

@@ -1,0 +1,131 @@
+import pandas as pd
+from pyspark.sql import functions as F
+
+from osm_wikipedia_tag_validator_spark.datagen import world as W
+from osm_wikipedia_tag_validator_spark.operators import upsert as UP
+from osm_wikipedia_tag_validator_spark.operators import validator as V
+
+
+def test_latest_per_key_keeps_newest(spark):
+    df = spark.createDataFrame(
+        [
+            ("node", 1, 100, "a"),
+            ("node", 1, 200, "b"),
+            ("way", 1, 100, "c"),
+            ("node", 2, 50, "d"),
+        ],
+        "type string, id long, download_timestamp long, payload string",
+    )
+    got = UP.latest_per_key(df).toPandas().set_index(["type", "id"])["payload"].to_dict()
+    assert got == {("node", 1): "b", ("way", 1): "c", ("node", 2): "d"}
+
+
+def test_merge_upsert_delta_wins_only_when_newer(spark):
+    base = spark.createDataFrame(
+        [("node", 1, 200, "base"), ("node", 2, 100, "base2")],
+        "type string, id long, download_timestamp long, payload string",
+    )
+    delta = spark.createDataFrame(
+        [("node", 1, 150, "older-delta"), ("node", 2, 300, "newer-delta"), ("node", 3, 10, "insert")],
+        "type string, id long, download_timestamp long, payload string",
+    )
+    got = UP.merge_upsert(base, delta).toPandas().set_index("id")["payload"].to_dict()
+    assert got == {1: "base", 2: "newer-delta", 3: "insert"}
+
+
+def test_invalidate_stale(spark):
+    df = spark.createDataFrame(
+        [(1, 100, 200, "err-x", "error"), (2, 300, 200, "err-y", "error")],
+        "id long, download_timestamp long, new_download_timestamp long, error_id string, status string",
+    )
+    got = UP.invalidate_stale(df).toPandas().set_index("id")
+    assert got.loc[1, "error_id"] is None and got.loc[1, "status"] == "unchecked"
+    assert got.loc[2, "error_id"] == "err-y" and got.loc[2, "status"] == "error"
+
+
+def _mini_world(spark):
+    regions = W.spark_regions(spark)
+    wiki = spark.createDataFrame(
+        [
+            ("Q1", "en:Good", "en", None, False, True, "place", 1.0, 1.0, True),
+            ("Q2", "en:Redirecting", "en", "Q1", False, True, "place", None, None, False),
+            ("Q3", "en:Disambig", "en", None, True, True, "place", None, None, False),
+            ("Q4", "en:Person", "en", None, False, True, "human", None, None, False),
+            ("Q5", "de:Gut", "de", None, False, True, "place", None, None, False),
+            ("Q6", "en:Gone", "en", None, False, False, "place", None, None, False),
+        ],
+        W.WIKI_SCHEMA,
+    )
+    return regions, wiki
+
+
+def _elem(spark, tags, area="alpha"):
+    return spark.createDataFrame(
+        [("node", 1, 0.0, -10.0, tags, area, 1000, None)], W.ELEMENTS_SCHEMA
+    )
+
+
+def _one_error(spark, tags, area="alpha"):
+    regions, wiki = _mini_world(spark)
+    out = V.validate(_elem(spark, tags, area), wiki, regions).toPandas()
+    assert len(out) == 1
+    return out["error_id"].iloc[0], out
+
+
+CASES = [
+    ({"wikipedia": "en:Good"}, None),
+    ({"wikipedia": "NoLangPrefix"}, "malformed wikipedia tag"),
+    ({"wikidata": "banana"}, "malformed wikidata tag"),
+    ({"wikipedia": "en:Missing"}, "wikipedia tag links to 404"),
+    ({"wikipedia": "en:Gone"}, "wikipedia tag links to 404"),
+    ({"wikidata": "Q999999"}, "wikidata tag links to 404"),
+    ({"wikipedia": "en:Good", "wikidata": "Q3"}, "wikipedia wikidata mismatch"),
+    ({"wikidata": "Q2"}, "wikidata tag links to a redirect"),
+    ({"wikipedia": "en:Redirecting"}, "wikipedia tag links to a redirect"),
+    ({"wikipedia": "en:Disambig"}, "wikipedia tag links to a disambiguation page"),
+    ({"wikipedia": "en:Person"}, "should use a secondary wikipedia tag - linking to a human"),
+    ({"wikipedia": "de:Gut"}, "wikipedia tag unexpected language"),
+    ({"name": "no wiki tags"}, "FILTERED"),
+]
+
+
+def test_validator_cascade_all_classes(spark):
+    """Golden selftest pattern (maproulette_challenge_creation.py:399-433):
+    inputs with known single expected error class (or clean)."""
+    regions, wiki = _mini_world(spark)
+    for tags, expected in CASES:
+        if expected == "FILTERED":
+            out = V.validate(_elem(spark, tags), wiki, regions).toPandas()
+            assert len(out) == 0, tags  # relevance filter drops it
+            continue
+        got, _ = _one_error(spark, tags)
+        assert got == expected, f"{tags}: got {got!r}, want {expected!r}"
+
+
+def test_validator_priority_order(spark):
+    # malformed wikipedia beats wikidata redirect
+    got, _ = _one_error(spark, {"wikipedia": "NoColon", "wikidata": "Q2"})
+    assert got == "malformed wikipedia tag"
+
+
+def test_ignored_problems_anti_join(spark):
+    # delta ignores 'wikipedia tag links to 404'
+    regions, wiki = _mini_world(spark)
+    out = V.validate(_elem(spark, {"wikipedia": "en:Missing"}, area="delta"), wiki, regions).toPandas()
+    assert len(out) == 0
+
+
+def test_report_struct_fields(spark):
+    _, out = _one_error(spark, {"wikidata": "Q2"})
+    rep = out["report"].iloc[0]
+    assert rep["error_id"] == "wikidata tag links to a redirect"
+    assert rep["osm_object_url"] == "https://www.openstreetmap.org/node/1"
+    assert rep["prerequisite"] == {"wikidata": "Q2"}
+    assert rep["proposed_tagging_changes"][0]["from"] == {"wikidata": "Q2"}
+    assert rep["proposed_tagging_changes"][0]["to"] == {"wikidata": "Q1"}
+
+
+def test_secondary_key_not_flagged_as_human(spark):
+    # brand:wikipedia to a human is the CORRECT secondary usage
+    got, _ = _one_error(spark, {"brand:wikipedia": "en:Person"})
+    assert got is None
