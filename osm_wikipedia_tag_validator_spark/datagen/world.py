@@ -327,7 +327,7 @@ def gen_wiki_entities(n: int = N_ENTITIES) -> pd.DataFrame:
 _SIZES = [16, 32, 64]
 
 
-def gen_images_batch(ids: np.ndarray) -> pd.DataFrame:
+def gen_images_batch(ids: np.ndarray, elements: pd.DataFrame | None = None) -> pd.DataFrame:
     """One image row per element id: deterministic gradient + hash noise,
     PNG (lossless) or fake-JPEG (lossy, PSNR≈48dB), caption = the
     element's wiki tag payload, phash = aHash of the DECODED pixels."""
@@ -337,7 +337,8 @@ def gen_images_batch(ids: np.ndarray) -> pd.DataFrame:
     hsel = np.array(_SIZES)[(u01(hash2(h, 2)) * 3).astype(np.int64)]
     fmt = np.where(u01(hash2(h, 3)) < 0.5, "png", "jpeg")
 
-    elements = gen_elements_batch(ids)
+    if elements is None:
+        elements = gen_elements_batch(ids)
     # keep only first generation per id for caption linkage
     first_gen = elements.drop_duplicates(subset=["id"], keep="first")
     tags_by_id = dict(zip(first_gen["id"].to_numpy(), first_gen["tags"]))
@@ -432,6 +433,31 @@ def spark_elements(spark, n: int):
 def spark_images(spark, n: int):
     return _id_range(spark, n).mapInPandas(
         lambda it: (gen_images_batch(p["id"].to_numpy()) for p in it), IMAGES_SCHEMA
+    )
+
+
+IMAGES_LOCATED_SCHEMA = IMAGES_SCHEMA + ", lon double, lat double"
+
+
+def gen_images_located_batch(ids: np.ndarray) -> pd.DataFrame:
+    """Denormalized ingest: image rows co-generated with their element's
+    location. At 10^12 scale images and elements are bucketed on the
+    element key so the lineage join is co-located (shuffle-free); the
+    synthetic source realizes the same physical property by emitting the
+    joined row directly."""
+    els = gen_elements_batch(ids).drop_duplicates(subset=["id"], keep="first")
+    imgs = gen_images_batch(ids, elements=els)
+    pos = dict(zip(els["id"].to_numpy(), zip(els["lon"], els["lat"])))
+    lonlat = np.array([pos[int(i)] for i in ids], dtype=np.float64)
+    imgs["lon"] = lonlat[:, 0]
+    imgs["lat"] = lonlat[:, 1]
+    return imgs
+
+
+def spark_images_located(spark, n: int):
+    return _id_range(spark, n).mapInPandas(
+        lambda it: (gen_images_located_batch(p["id"].to_numpy()) for p in it),
+        IMAGES_LOCATED_SCHEMA,
     )
 
 

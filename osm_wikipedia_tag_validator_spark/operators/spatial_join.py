@@ -112,13 +112,100 @@ def point_in_polygon_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     res: int = DEFAULT_RES,
+    strategy: str = "native",
 ) -> DataFrame:
     """points ⋈ polygons with exact containment (on-edge = inside).
 
     Output: all `points` columns + (cell, polygon_id, region).
     Points in no polygon are dropped (inner-join semantics); use
     `point_in_polygon_tag` for left semantics.
+
+    strategy='native' (default): the ray-cast refine runs as Catalyst
+    higher-order functions over the polygon's edge array carried in the
+    broadcast cover rows — whole-stage codegen, no Python worker, no
+    Arrow hop. Cells marked fully-inside skip even that.
+    strategy='pandas': vectorized numpy refine in mapInPandas — the
+    fallback when polygons are too complex to inline as edge arrays
+    (the edge array is O(vertices) per candidate row in the broadcast,
+    so beyond ~10^4-vertex polygons prefer the grouped-numpy path).
     """
+    if strategy == "native":
+        return _pip_join_native(points, polygons, lon_col, lat_col, res)
+    return _pip_join_pandas(points, polygons, lon_col, lat_col, res)
+
+
+_EDGE_EPS = 1e-12
+
+
+def _pip_join_native(points, polygons, lon_col, lat_col, res) -> DataFrame:
+    spark = points.sparkSession
+    polys = collect_polygons(polygons)
+    cover_pdf = build_cell_cover(polys, res)
+    # edges per polygon: all rings flattened (even-odd handles holes)
+    edge_rows = []
+    for p in polys:
+        edges = []
+        for ring in p["rings"]:
+            r = np.asarray(ring, dtype=np.float64)
+            if len(r) >= 2 and np.allclose(r[0], r[-1]):
+                r = r[:-1]
+            nxt = np.roll(r, -1, axis=0)
+            edges.extend(
+                (float(a[0]), float(a[1]), float(b[0]), float(b[1]))
+                for a, b in zip(r, nxt)
+            )
+        edge_rows.append((p["polygon_id"], edges))
+    edges_df = spark.createDataFrame(
+        edge_rows,
+        "polygon_id string, edges array<struct<x0:double,y0:double,x1:double,y1:double>>",
+    )
+    cover = (
+        spark.createDataFrame(cover_pdf)
+        .join(edges_df, "polygon_id")
+        # fully-inside cells don't need the edge array at all
+        .withColumn("edges", F.when(~F.col("full"), F.col("edges")))
+        .select("cell", "polygon_id", "region", "full", "edges")
+    )
+
+    pts = points.withColumn("cell", C.cell_col(F.col(lon_col), F.col(lat_col), res))
+
+    lon = F.col(lon_col)
+    lat = F.col(lat_col)
+
+    def crossing(e):
+        xint = e["x0"] + (lat - e["y0"]) * (e["x1"] - e["x0"]) / (e["y1"] - e["y0"])
+        return ((e["y0"] > lat) != (e["y1"] > lat)) & (lon < xint)
+
+    def on_edge(e):
+        cross = (e["x1"] - e["x0"]) * (lat - e["y0"]) - (e["y1"] - e["y0"]) * (
+            lon - e["x0"]
+        )
+        scale = F.greatest(
+            F.lit(1.0), F.abs(e["x1"] - e["x0"]) + F.abs(e["y1"] - e["y0"])
+        )
+        return (
+            (F.abs(cross) <= F.lit(_EDGE_EPS) * scale)
+            & (lon >= F.least(e["x0"], e["x1"]) - F.lit(_EDGE_EPS))
+            & (lon <= F.greatest(e["x0"], e["x1"]) + F.lit(_EDGE_EPS))
+            & (lat >= F.least(e["y0"], e["y1"]) - F.lit(_EDGE_EPS))
+            & (lat <= F.greatest(e["y0"], e["y1"]) + F.lit(_EDGE_EPS))
+        )
+
+    cov = F.broadcast(cover).alias("_cov")
+    inside = F.col("_cov.full") | F.exists("_cov.edges", on_edge) | (
+        F.size(F.filter("_cov.edges", crossing)) % 2 == 1
+    )
+    # containment is part of the JOIN CONDITION, not a post-filter: the
+    # hash join evaluates it against the build-side row in place, so the
+    # O(vertices) edge array is never copied into output rows (copying
+    # it made the stage memory-bandwidth-bound at high DOP)
+    joined = pts.alias("_pts").join(
+        cov, (F.col("_pts.cell") == F.col("_cov.cell")) & inside, "inner"
+    )
+    return joined.select("_pts.*", F.col("_cov.polygon_id"), F.col("_cov.region"))
+
+
+def _pip_join_pandas(points, polygons, lon_col, lat_col, res) -> DataFrame:
     spark = points.sparkSession
     polys = collect_polygons(polygons)
     cover_pdf = build_cell_cover(polys, res)

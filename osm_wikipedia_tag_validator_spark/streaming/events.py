@@ -36,7 +36,8 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
     state is dropped — the streaming analog of the reference's
     stale-report invalidation, `script.py:232-255`)."""
     return (
-        events.withWatermark("ts", watermark)
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
@@ -48,7 +49,8 @@ def latest_state_per_key(events: DataFrame, watermark: str = "2 hours") -> DataF
     event per user within the watermark horizon via dropDuplicates on
     monotonic state."""
     return (
-        events.withWatermark("ts", watermark)
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["user_id"])
     )
 

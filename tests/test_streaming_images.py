@@ -1,0 +1,89 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_wikipedia_tag_validator_spark.datagen import world as W
+from osm_wikipedia_tag_validator_spark.operators import images_ops as IO
+from osm_wikipedia_tag_validator_spark.streaming import events as SE
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return W.spark_images(spark, 60).cache()
+
+
+def test_extract_features(images):
+    feats = IO.extract_features(images).toPandas()
+    assert len(feats) == 60
+    # recomputed hash must equal the stored phash (datagen computed it
+    # from the same decoded pixels)
+    assert (feats["decoded_phash"] == feats["phash"]).all()
+    assert feats["mean_luma"].between(0, 255).all()
+
+
+def test_verify_invariants(images):
+    v = IO.verify_invariants(images).toPandas()
+    assert v["phash_match"].all()
+    assert v["caption_ok"].all()
+    # lossless round trip: psnr inf (clipped to 1e9); lossy ≥ 40
+    assert (v.loc[v["fmt"] == "png", "psnr"] >= 1e8).all()
+    assert (v.loc[v["fmt"] == "jpeg", "psnr"] >= 40).all()
+
+
+def test_thumbnails_decode(images):
+    from osm_wikipedia_tag_validator_spark.datagen.codecs import decode_image
+
+    th = IO.make_thumbnails(images, size=8).toPandas()
+    assert len(th) == 60
+    img = decode_image(bytes(th["thumb"].iloc[0]))
+    assert img.shape == (8, 8, 3)
+
+
+def test_frame_sampling_stub(images):
+    fr = IO.sample_frames(images.limit(10), n_frames=3).toPandas()
+    assert len(fr) == 30
+    assert set(fr["frame_idx"]) == {0, 1, 2}
+    # frames differ (shifted) for non-degenerate images
+    per = fr.groupby("image_id")["frame_phash"].nunique()
+    assert (per >= 1).all()
+
+
+def test_phash_neardup_pairs(spark, images):
+    feats = IO.extract_features(images)
+    pairs = IO.neardup_by_phash(feats, max_hamming=2).toPandas()
+    # pairs symmetric-free and within threshold
+    assert (pairs["hamming"] <= 2).all()
+    assert (pairs["id1"] < pairs["id2"]).all()
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    # write the driver events table as 3 micro-batch files
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    schema = ev.schema.simpleString().removeprefix("struct<").removesuffix(">").replace(":", " ")
+    src = str(tmp_path / "stream_src")
+    ev.withColumn("b", F.col("event_id") % 3).repartition("b").drop("b").write.parquet(src)
+    stream = SE.stream_events_from_files(spark, src, ev.schema, max_files_per_trigger=2)
+    out = SE.run_stream_to_memory(
+        SE.windowed_counts(stream), "win_counts", output_mode="append"
+    ).toPandas()
+    # compare against the batch answer for windows the watermark closed
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .toPandas()
+    )
+    merged = out.merge(batch, on=["window_start", "event_type"], suffixes=("_s", "_b"))
+    assert (merged["n_s"] == merged["n_b"]).all()
+    assert len(out) > 0
+
+
+def test_streaming_latest_per_key(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "stream_src2")
+    ev.write.parquet(src)
+    stream = SE.stream_events_from_files(spark, src, ev.schema, max_files_per_trigger=10)
+    out = SE.run_stream_to_memory(
+        SE.latest_state_per_key(stream), "latest_keys", output_mode="append"
+    ).toPandas()
+    assert out["user_id"].is_unique
