@@ -1,0 +1,108 @@
+"""Physical-plan regression tests: the optimizations the engine's
+scale story depends on must be visible in `.explain` output, not
+assumed (SURVEY.md §4)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from osm_wikipedia_tag_validator_spark.datagen import world as W
+from osm_wikipedia_tag_validator_spark.operators import spatial_join as SJ
+from osm_wikipedia_tag_validator_spark.operators import tiles as TI
+from osm_wikipedia_tag_validator_spark.plans import oracle_queries as OQ
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate") < "1996-01-01")
+        .select("l_orderkey", "l_extendedprice")
+    )
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # column pruning: only the 3 referenced columns in ReadSchema
+    assert "l_comment" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_broadcast_join_used_for_small_dim(spark):
+    plan = _plan(OQ.q_broadcast_join_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pip_join_is_broadcast_and_jvm_only(spark):
+    pts = spark.range(100).select(
+        "id",
+        (F.col("id") % 60 - 15.0).alias("lon"),
+        (F.col("id") % 30 - 5.0).alias("lat"),
+    )
+    df = SJ.point_in_polygon_join(pts, W.spark_polygons(spark))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the native strategy must not bounce through a Python worker
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    # and the fact side must not shuffle
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_cell_and_tile_encode_are_codegen(spark):
+    pts = spark.range(100).select(
+        "id", (F.col("id") * 1.0).alias("lon"), (F.col("id") * 0.1).alias("lat")
+    )
+    df = TI.assign_tiles(pts, 8)
+    plan = _plan(df)
+    # '*(n)' prefix marks whole-stage-codegen spans in executedPlan
+    assert "WholeStageCodegen" in plan or "*(" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_validator_is_pure_codegen(spark):
+    from osm_wikipedia_tag_validator_spark.operators import validator as V
+
+    elements = W.spark_elements(spark, 50)
+    out = V.validate(elements, W.spark_wiki_entities(spark, 100), W.spark_regions(spark))
+    plan = _plan(out)
+    # datagen is mapInPandas (the source), but the validator itself adds
+    # no Python: exactly the datagen's python nodes, joined + projected
+    assert plan.count("MapInPandas") == 1  # only the element source
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_bruteforce_has_no_shuffle(spark):
+    from osm_wikipedia_tag_validator_spark.operators import knn as KNN
+
+    q = OQ._pts(spark, SF)
+    e = OQ._supplier_pts(spark, SF)
+    df = KNN.knn_bruteforce(q, e, k=3, q_key="c_custkey", e_key="s_suppkey")
+    plan = _plan(df)
+    assert "Exchange" not in plan  # fully map-side
+
+
+def test_latest_per_key_single_exchange(spark):
+    from osm_wikipedia_tag_validator_spark.operators import upsert as UP
+
+    df = UP.latest_per_key(spark.read.parquet(f"{SF}/orders.parquet"),
+                           key_cols=["o_custkey"], ts_col="o_orderdate")
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_salted_join_and_count(spark):
+    big = spark.range(10000).select((F.col("id") % 10).alias("k"), "id")
+    small = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k long, v string")
+    out = SJ.salted_join_skewed(big, small, "k", hot_keys=[0, 1], salt_buckets=4)
+    assert out.count() == 10000
+    plain = big.join(small, "k").groupBy("k").count().toPandas().set_index("k")["count"]
+    salted = out.groupBy("k").count().toPandas().set_index("k")["count"]
+    assert (plain.sort_index() == salted.sort_index()).all()
+    counted = SJ.salted_count(big, ["k"]).toPandas().set_index("k")["count"]
+    assert (counted.sort_index() == plain.sort_index()).all()
