@@ -678,6 +678,48 @@ def q_embedding_neardup(spark, sf_dir):
     return DD.embedding_neardup_pairs(e, threshold=0.8)
 
 
+# --- engine-native spatial/image pipeline (synthetic world; rows-only:
+#     the DuckDB oracle cannot see these generated tables — their exact
+#     semantics are pinned by the pytest brute-force oracles instead) ---
+
+def q_spatial_error_reports(spark, sf_dir):
+    """The flagship validator pipeline's report rows (V1+J1+J5+P*)."""
+    from . import pipeline as P
+
+    inputs = P.build_inputs(spark, 500)
+    validated = P.validated_elements(inputs)
+    return P.error_reports(validated, inputs["regions"])
+
+
+def q_tile_vector_assignment(spark, sf_dir):
+    """Raster-tile↔vector assignment rollup over the image table."""
+    from ..datagen import world as W
+    from ..operators import tiles as TI
+
+    images = W.spark_images_located(spark, 2000)
+    hits = SJ.point_in_polygon_join(TI.assign_tiles(images, 8), W.spark_polygons(spark))
+    return hits.groupBy("tile_id", "region").agg(
+        F.count(F.lit(1)).alias("n_images")
+    )
+
+
+def q_all_points_inside(spark, sf_dir):
+    """J6 universal-quantifier containment over multi-point objects."""
+    from ..datagen import world as W
+
+    elems = W.spark_elements(spark, 400).filter(F.col("type") != "node")
+    return SJ.all_points_inside(elems, W.spark_polygons(spark))
+
+
+def q_image_invariants(spark, sf_dir):
+    """Per-row content invariant: decode round-trip PSNR (≥40dB lossy),
+    stored-phash match, caption integrity (BASELINE.json input_hint)."""
+    from ..datagen import world as W
+    from ..operators import images_ops as IO
+
+    return IO.verify_invariants(W.spark_images(spark, 300))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -714,6 +756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "spatial_error_reports": q_spatial_error_reports,
+        "tile_vector_assignment": q_tile_vector_assignment,
+        "all_points_inside": q_all_points_inside,
+        "image_invariants": q_image_invariants,
     }
 
 
