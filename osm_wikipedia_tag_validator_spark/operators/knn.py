@@ -83,6 +83,12 @@ def knn_bruteforce(
         F.col(q_lon).alias("_q_lon"),
         F.col(q_lat).alias("_q_lat"),
     )
+    # a single-file source would run the whole top-k in one task; give
+    # the map-side stage enough splits to use the cluster (no-op when
+    # the fact side already has them)
+    par = queries.sparkSession.sparkContext.defaultParallelism
+    if q.rdd.getNumPartitions() < par:
+        q = q.repartition(par)
     if len(ent_pdf) > max_inline_entities:
         return _knn_crossjoin_window(q, entities, k, q_key, e_key, e_lon, e_lat)
     e_keys = ent_pdf["k"].to_numpy()
@@ -221,6 +227,19 @@ def knn_kring(
         import math
 
         res = max(0, min(C.MAX_RES, int(0.5 * math.log2(max(n_ent / (4 * k), 1)))))
+    if (2 * initial_ring + 1) >= (1 << res):
+        # adaptive physical strategy: the entity set is so sparse that
+        # the first ring already spans the whole grid — the index can't
+        # prune anything, so the cell join would just be a worse-shaped
+        # brute force. Delegate to the map-side exact path (identical
+        # results; the genuine index path is exercised on dense entity
+        # sets — see tests/test_knn_ann.py).
+        ent.unpersist()
+        return knn_bruteforce(
+            queries, entities, k,
+            q_key=q_key, e_key=e_key, q_lon=q_lon, q_lat=q_lat,
+            e_lon=e_lon, e_lat=e_lat,
+        )
     ent = ent.withColumn("_e_cell", C.cell_col(F.col("_e_lon"), F.col("_e_lat"), res))
 
     remaining = queries.select(
