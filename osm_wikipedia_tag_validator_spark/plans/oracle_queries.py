@@ -678,6 +678,84 @@ def q_embedding_neardup(spark, sf_dir):
     return DD.embedding_neardup_pairs(e, threshold=0.8)
 
 
+def q_cell_parent_rollup(spark, sf_dir):
+    """Hierarchical cell rollup: encode at res 7, coarsen to res 4 via
+    bit math (parent_cell_col), count per parent — the partition-
+    pruning prefix the Iceberg layout keys on (SURVEY §4)."""
+    pts = _pts(spark, sf_dir)
+    fine = pts.withColumn("cell", C.cell_col(F.col("lon"), F.col("lat"), CELL_RES))
+    return (
+        fine.withColumn("parent", C.parent_cell_col(F.col("cell"), CELL_RES, 4))
+        .groupBy("parent")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_CELL_PARENT_TMPL = """
+WITH pts AS (
+  SELECT c_custkey, {lon} AS lon, {lat} AS lat FROM customer
+)
+SELECT {parent_cell} AS parent, CAST(COUNT(*) AS BIGINT) AS n
+FROM pts GROUP BY 1
+"""
+
+
+def q_rollup_hierarchy(spark, sf_dir):
+    """SQL ROLLUP (grouping sets) — free from Spark SQL per SURVEY §2.4
+    note; the merged-region two-level rollup's general form."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+SQL_ROLLUP_HIER = """
+SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+def q_dedup_keep_lowest(spark, sf_dir):
+    """exact_dedup operator surface: keeper doc per fingerprint."""
+    return DD.exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+
+
+SQL_DEDUP_KEEP = """
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY MD5(text))
+"""
+
+
+def q_wiki_link_parse(spark, sf_dir):
+    """F1 scalar: 'lang:Article' split (`generate_webpage_with_error_
+    output.py:196-200`) over synthetic link strings."""
+    p = _t(spark, sf_dir, "part")
+    link = F.concat(
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("de")).otherwise(F.lit("en")),
+        F.lit(":"),
+        F.col("p_name"),
+    )
+    df = p.select("p_partkey", link.alias("link"))
+    return df.select(
+        "p_partkey",
+        F.get(F.split("link", ":", 2), 0).alias("lang"),
+        F.get(F.split("link", ":", 2), 1).alias("article"),
+    )
+
+
+SQL_WIKI_PARSE = """
+WITH links AS (
+  SELECT p_partkey,
+         (CASE WHEN p_partkey % 3 = 0 THEN 'de' ELSE 'en' END) || ':' || p_name AS link
+  FROM part
+)
+SELECT p_partkey, STR_SPLIT(link, ':')[1] AS lang, STR_SPLIT(link, ':')[2] AS article
+FROM links
+"""
+
+
 # --- engine-native spatial/image pipeline (synthetic world; rows-only:
 #     the DuckDB oracle cannot see these generated tables — their exact
 #     semantics are pinned by the pytest brute-force oracles instead) ---
@@ -756,6 +834,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "cell_parent_rollup": q_cell_parent_rollup,
+        "rollup_hierarchy": q_rollup_hierarchy,
+        "dedup_keep_lowest": q_dedup_keep_lowest,
+        "wiki_link_parse": q_wiki_link_parse,
         "spatial_error_reports": q_spatial_error_reports,
         "tile_vector_assignment": q_tile_vector_assignment,
         "all_points_inside": q_all_points_inside,
@@ -785,6 +867,14 @@ def oracle_sql() -> dict[str, str]:
             lon=_LON, lat=_LAT, tile=TI.tile_id_sql("lon", "lat", TILE_Z)
         ),
         "bbox_join": SQL_BBOX_TMPL.format(lon=_LON, lat=_LAT),
+        # parent at res 4 == direct encode at res 4 (power-of-two scaling
+        # is exact in IEEE doubles, so the coarsened bit math agrees)
+        "cell_parent_rollup": SQL_CELL_PARENT_TMPL.format(
+            lon=_LON, lat=_LAT, parent_cell=C.cell_sql("lon", "lat", 4)
+        ),
+        "rollup_hierarchy": SQL_ROLLUP_HIER,
+        "dedup_keep_lowest": SQL_DEDUP_KEEP,
+        "wiki_link_parse": SQL_WIKI_PARSE,
         "pip_convex": _sql_pip(),
         "knn": SQL_KNN,
         "knn_kring": SQL_KNN,
