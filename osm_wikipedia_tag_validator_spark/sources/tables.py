@@ -47,20 +47,26 @@ def write_table(
     df: DataFrame,
     path: str,
     partition_by: list[str] | None = None,
-    mode: str = "overwrite",
     snapshot_meta: dict | None = None,
 ) -> dict:
-    """Partitioned parquet write + atomic manifest commit.
+    """Snapshot-versioned partitioned parquet write + atomic manifest
+    commit (Iceberg-semantics stand-in).
 
-    The manifest carries snapshot lineage (id, ts, parent) — the
-    engine's checkpoint/resume layer keys on it (streaming/checkpoint).
+    Every write lands in its own `data/<snapshot_id>/` directory; the
+    manifest flip (`os.replace`, atomic) is the commit point, carrying
+    lineage (parent id, ts). Readers see either the old or new snapshot,
+    never a partial write — the property the reference approximated with
+    temp-file + rename (`obtain_from_overpass.py:45-51`). Old snapshots
+    remain readable (time travel) and the parent chain supports
+    incremental "what changed since snapshot X" reads.
     """
-    writer = df.write.mode(mode)
+    snapshot_id = uuid.uuid4().hex
+    writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(os.path.join(path, "data"))
+    writer.parquet(os.path.join(path, "data", snapshot_id))
     manifest = {
-        "snapshot_id": uuid.uuid4().hex,
+        "snapshot_id": snapshot_id,
         "committed_at": int(time.time()),
         "partition_by": partition_by or [],
         "meta": snapshot_meta or {},
@@ -68,10 +74,13 @@ def write_table(
     prev = read_manifest(path)
     if prev:
         manifest["parent_snapshot_id"] = prev.get("snapshot_id")
-    tmp = os.path.join(path, f"_manifest.{manifest['snapshot_id']}.tmp")
+    tmp = os.path.join(path, f"_manifest.{snapshot_id}.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(path, "manifest.json"))  # atomic commit
+    # append to the snapshot log for time travel / incremental scans
+    with open(os.path.join(path, "snapshots.jsonl"), "a") as f:
+        f.write(json.dumps(manifest) + "\n")
     return manifest
 
 
@@ -83,5 +92,35 @@ def read_manifest(path: str) -> dict | None:
         return json.load(f)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, "data"))
+def snapshots(path: str) -> list[dict]:
+    p = os.path.join(path, "snapshots.jsonl")
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def read_table(
+    spark: SparkSession, path: str, snapshot_id: str | None = None
+) -> DataFrame:
+    """Read the current snapshot, or any retained one (time travel)."""
+    sid = snapshot_id or (read_manifest(path) or {}).get("snapshot_id")
+    if sid is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    return spark.read.parquet(os.path.join(path, "data", sid))
+
+
+def read_incremental(
+    spark: SparkSession,
+    path: str,
+    since_snapshot_id: str,
+    key_cols: list[str],
+    ts_col: str = "download_timestamp",
+) -> DataFrame:
+    """Rows added or changed since a past snapshot (Iceberg incremental
+    scan stand-in): current EXCEPT-by-key-and-ts old — an anti-join on
+    (keys + ts), so updated rows reappear with their new payload."""
+    cur = read_table(spark, path)
+    old = read_table(spark, path, since_snapshot_id)
+    on = key_cols + [ts_col]
+    return cur.join(old.select(*on), on, "left_anti")
