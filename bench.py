@@ -167,8 +167,17 @@ def run_default() -> dict:
         (run_flagship(spark, FLAGSHIP_ELEMENTS, FLAGSHIP_IMAGES) for _ in range(2)),
         key=lambda r: r["wall_sec"],
     )
+
+    # the map-side tile pipeline at a size where compute dominates —
+    # the engine's images/sec headline (same job as the scaling legs)
+    tile = min(
+        (run_scaling_job(spark, 0, 500_000) for _ in range(2)),
+        key=lambda r: r["wall_sec"],
+    )
     timings["flagship_spatial"] = round(flag["wall_sec"], 3)
     total += flag["wall_sec"]
+    timings["tile_pipeline_500k"] = round(tile["wall_sec"], 3)
+    total += tile["wall_sec"]
 
     return {
         "metric": "headline_queries_total_wall",
@@ -179,6 +188,7 @@ def run_default() -> dict:
         "cpus": CPUS,
         "flagship_images_per_sec": round(flag["images_per_sec"], 1),
         "flagship_elements_per_sec": round(flag["elements_per_sec"], 1),
+        "tile_pipeline_images_per_sec": round(tile["images_per_sec"], 1),
         "flagship_rows": {
             "reports": flag["n_reports"],
             "rollup": flag["rollup_rows"],

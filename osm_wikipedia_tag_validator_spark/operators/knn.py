@@ -251,12 +251,14 @@ def knn_kring(
     ring = initial_ring
     while True:
         kr = _kring_udf(res, ring)
+        # ring cells are array_distinct'ed and an entity lives in exactly
+        # one cell, so (query, entity) pairs are already unique — no
+        # dedup shuffle needed
         cand = (
             remaining.withColumn("_cells", kr(F.col("_q_lon"), F.col("_q_lat")))
             .withColumn("_e_cell", F.explode(F.array_distinct("_cells")))
             .drop("_cells")
             .join(ent, "_e_cell")
-            .dropDuplicates(["_q_key", "_e_key"])
             .withColumn(
                 "dist_km",
                 haversine_col(
@@ -303,7 +305,29 @@ def knn_kring(
             converged_keys, "_q_key", "left_anti"
         ).localCheckpoint()
         remaining.unpersist()
-        if new_remaining.isEmpty():
+        n_left = new_remaining.count()
+        if n_left == 0:
+            break
+        if n_left <= max(1000, n_ent):
+            # straggler cut-off: escalating rings costs one full Spark
+            # job per doubling; once the unconverged set is small, the
+            # exact map-side brute force answers them in ONE job.
+            rest = knn_bruteforce(
+                new_remaining.select(
+                    F.col("_q_key").alias(q_key),
+                    F.col("_q_lon").alias(q_lon),
+                    F.col("_q_lat").alias(q_lat),
+                ),
+                ent.select(
+                    F.col("_e_key").alias(e_key),
+                    F.col("_e_lon").alias(e_lon),
+                    F.col("_e_lat").alias(e_lat),
+                ),
+                k,
+                q_key=q_key, e_key=e_key, q_lon=q_lon, q_lat=q_lat,
+                e_lon=e_lon, e_lat=e_lat,
+            )
+            results = rest if results is None else results.unionByName(rest)
             break
         remaining = new_remaining
         ring = min(ring * 2, max_ring)

@@ -211,6 +211,13 @@ def _pip_join_pandas(points, polygons, lon_col, lat_col, res) -> DataFrame:
     cover_pdf = build_cell_cover(polys, res)
     cover = spark.createDataFrame(cover_pdf)
     geom = {p["polygon_id"]: p["rings"] for p in polys}
+    # STRtree over polygon bboxes, built ONCE per worker (closure):
+    # inside each Arrow batch, bbox containment prunes which exact
+    # ray-cast tests run — the candidate filter for large polygon sets
+    # (north star: "STRtree candidate pruning + ray-casting inside the
+    # UDF").
+    pids = [p["polygon_id"] for p in polys]
+    bboxes = np.array([G.ring_bbox(p["rings"][0]) for p in polys])
 
     pts = points.withColumn("cell", C.cell_col(F.col(lon_col), F.col(lat_col), res))
     cand = pts.join(F.broadcast(cover), "cell")
@@ -218,6 +225,8 @@ def _pip_join_pandas(points, polygons, lon_col, lat_col, res) -> DataFrame:
     out_schema = cand.drop("full").schema
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tree = G.STRtree(bboxes)
+        pid_index = {p: i for i, p in enumerate(pids)}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -225,13 +234,18 @@ def _pip_join_pandas(points, polygons, lon_col, lat_col, res) -> DataFrame:
             todo = ~keep
             if todo.any():
                 sub = pdf[todo]
+                px = sub[lon_col].to_numpy()
+                py = sub[lat_col].to_numpy()
+                sub_pid = sub["polygon_id"].map(pid_index).to_numpy()
+                # bbox prune: a row needs the exact test only if its own
+                # polygon's bbox contains the point
+                pi, ii = tree.query_points(px, py)
+                cand_rows = pi[ii == sub_pid[pi]]
                 ok = np.zeros(len(sub), dtype=bool)
-                # vectorized per polygon present in the batch (few)
-                for pid, grp in sub.groupby("polygon_id", sort=False):
-                    rings = geom[pid]
-                    idx = sub.index.get_indexer(grp.index)
-                    ok[idx] = G.points_in_polygon(
-                        grp[lon_col].to_numpy(), grp[lat_col].to_numpy(), rings
+                for pidx in np.unique(sub_pid[cand_rows]):
+                    rows = cand_rows[sub_pid[cand_rows] == pidx]
+                    ok[rows] = G.points_in_polygon(
+                        px[rows], py[rows], geom[pids[pidx]]
                     )
                 keep[todo] = ok
             yield pdf.loc[keep].drop(columns=["full"])

@@ -503,7 +503,7 @@ def q_knn_kring(spark, sf_dir):
     """J9 kNN via the k-ring cell-index path — must equal brute force."""
     return KNN.knn_kring(
         _pts(spark, sf_dir), _supplier_pts(spark, sf_dir), k=3,
-        initial_ring=2, max_ring=64,
+        initial_ring=1, max_ring=64,
         q_key="c_custkey", e_key="s_suppkey",
     ).select("c_custkey", "s_suppkey", F.round("dist_km", 4).alias("dist_km"), "rank")
 
