@@ -36,6 +36,16 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """Subword-style token estimate: alphabetic runs, digit runs, and
+    individual symbols counted separately (the shape BPE tokenizers
+    split on), via one JVM-side regex pass."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH), 0))
+
+
 def punct_ratio_col(text: Column) -> Column:
     n = F.length(text)
     punct = n - F.length(F.regexp_replace(text, _PUNCT_RE, ""))

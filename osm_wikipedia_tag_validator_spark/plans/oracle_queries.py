@@ -550,6 +550,25 @@ FROM documents
 """
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """Subword-style (BPE-ish regex) token counting alongside the
+    whitespace count — the training-data budget estimators."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count_col(F.col("text")).alias("ws_tokens"),
+        TX.bpe_ish_token_count_col(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+SQL_BPE_TOKENS = """
+SELECT doc_id,
+       CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), x -> x <> '')) AS INT) AS ws_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens
+FROM documents
+"""
+
+
 def q_quality_score(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", TX.quality_score_col(F.col("text")).alias("quality"))
@@ -824,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "knn_kring": q_knn_kring,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "exact_dup_groups": q_exact_dup_groups,
@@ -879,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": SQL_KNN,
         "knn_kring": SQL_KNN,
         "token_count": SQL_TOKEN_COUNT,
+        "bpe_token_count": SQL_BPE_TOKENS,
         "quality_score": SQL_QUALITY,
         "fingerprint": SQL_FINGERPRINT,
         "exact_dup_groups": SQL_DUP_GROUPS,
