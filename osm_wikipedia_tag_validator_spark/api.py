@@ -1,0 +1,94 @@
+"""User-facing facade — the one-import surface a reference user
+switches to.
+
+    from osm_wikipedia_tag_validator_spark.api import Engine
+
+    eng = Engine(spark)
+    state    = eng.validate(elements, wiki, regions)      # V1/J1/J5
+    reports  = eng.error_reports(state, regions)          # S8 rows
+    rollup   = eng.region_rollup(state, regions, catalog) # A1/J8
+    tiles    = eng.assign_tiles(images_located, z=8)      # tiling
+    contained= eng.point_in_polygon(points, polygons)     # J5
+    nn       = eng.knn(points, articles, k=5)             # J9
+    state2   = eng.incremental_round(state, delta, wiki, regions)
+
+Every method returns a DataFrame (lazy); nothing collects. The class
+holds no state beyond the session — it's organizational sugar over the
+operator modules, which remain directly importable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import ann as _ann
+from .operators import dedup as _dedup
+from .operators import knn as _knn
+from .operators import spatial_join as _sj
+from .operators import tiles as _tiles
+from .operators import upsert as _upsert
+from .operators import validator as _validator
+from .plans import incremental as _inc
+from .plans import pipeline as _pipe
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # --- spatial ---
+    def point_in_polygon(self, points, polygons, **kw) -> DataFrame:
+        return _sj.point_in_polygon_join(points, polygons, **kw)
+
+    def all_points_inside(self, objects, polygons, **kw) -> DataFrame:
+        return _sj.all_points_inside(objects, polygons, **kw)
+
+    def assign_tiles(self, df, z: int, **kw) -> DataFrame:
+        return _tiles.assign_tiles(df, z, **kw)
+
+    def tile_vector_assignment(self, points, polygons, z: int, **kw) -> DataFrame:
+        return _tiles.tile_vector_assignment(points, polygons, z, **kw)
+
+    def knn(self, queries, entities, k: int, **kw) -> DataFrame:
+        return _knn.knn_kring(queries, entities, k, **kw)
+
+    def knn_exact(self, queries, entities, k: int, **kw) -> DataFrame:
+        return _knn.knn_bruteforce(queries, entities, k, **kw)
+
+    # --- validation ---
+    def validate(self, elements, wiki, regions, **kw) -> DataFrame:
+        return _validator.validate(elements, wiki, regions, **kw)
+
+    def incremental_round(self, state, delta, wiki, regions) -> DataFrame:
+        return _inc.incremental_round(state, delta, wiki, regions)
+
+    def error_reports(self, validated, regions) -> DataFrame:
+        return _pipe.error_reports(validated, regions)
+
+    def region_rollup(self, validated, regions, error_catalog) -> DataFrame:
+        return _pipe.region_rollup(validated, regions, error_catalog)
+
+    # --- state ---
+    def latest_per_key(self, df, **kw) -> DataFrame:
+        return _upsert.latest_per_key(df, **kw)
+
+    def merge_upsert(self, base, delta, **kw) -> DataFrame:
+        return _upsert.merge_upsert(base, delta, **kw)
+
+    # --- training-data ops ---
+    def exact_dedup(self, df, **kw) -> DataFrame:
+        return _dedup.exact_dedup(df, **kw)
+
+    def minhash_neardup(self, df, **kw) -> DataFrame:
+        return _dedup.minhash_lsh_pairs(df, **kw)
+
+    def simhash_neardup(self, df, **kw) -> DataFrame:
+        return _dedup.simhash_pairs(df, **kw)
+
+    def embedding_neardup(self, df, **kw) -> DataFrame:
+        return _dedup.embedding_neardup_pairs(df, **kw)
+
+    def similarity_topk(self, queries, corpus, k: int, approximate: bool = False, **kw) -> DataFrame:
+        if approximate:
+            return _ann.ivf_topk(queries, corpus, k, **kw)
+        return _ann.cosine_topk_fast(queries, corpus, k, **kw)
