@@ -140,6 +140,10 @@ _EDGE_EPS = 1e-12
 def _pip_join_native(points, polygons, lon_col, lat_col, res) -> DataFrame:
     spark = points.sparkSession
     polys = collect_polygons(polygons)
+    if not polys:
+        pts = points.withColumn("cell", C.cell_col(F.col(lon_col), F.col(lat_col), res))
+        empty = spark.createDataFrame([], "cell long, polygon_id string, region string")
+        return pts.join(F.broadcast(empty), "cell")
     cover_pdf = build_cell_cover(polys, res)
     # edges per polygon: all rings flattened (even-odd handles holes)
     edge_rows = []
