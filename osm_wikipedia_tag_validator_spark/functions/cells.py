@@ -76,6 +76,28 @@ def cell_sql(lon_expr: str, lat_expr: str, res: int) -> str:
     return f"(CAST({res} AS BIGINT) * {1 << _RES_SHIFT} + ({x} * {1 << _X_SHIFT}) + {y})"
 
 
+def k_ring_col(lon: Column, lat: Column, res: int, k: int) -> Column:
+    """k-ring as a PURE Catalyst expression: array of all cells within
+    Chebyshev distance k (x wraps, y clamps — same semantics as the
+    numpy `k_ring`). Keeps the kNN candidate generator free of Python
+    stages; duplicates from polar clamping are NOT removed (wrap in
+    array_distinct at the call site)."""
+    n = 1 << res
+    x = cell_x_col(lon, res)
+    y = cell_y_col(lat, res)
+    offs = F.sequence(F.lit(-k), F.lit(k))
+    base = F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
+
+    def cell_at(dx, dy):
+        nx = F.pmod(x + dx, F.lit(n))
+        ny = F.greatest(F.lit(0).cast("long"), F.least(y + dy, F.lit(n - 1).cast("long")))
+        return base + F.shiftleft(nx, _X_SHIFT) + ny
+
+    return F.flatten(
+        F.transform(offs, lambda dx: F.transform(offs, lambda dy: cell_at(dx, dy)))
+    )
+
+
 def parent_cell_col(cell: Column, res: int, parent_res: int) -> Column:
     """Coarsen a cell id to an ancestor resolution (prefix for pruning)."""
     if parent_res > res:

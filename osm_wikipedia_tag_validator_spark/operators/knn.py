@@ -250,14 +250,19 @@ def knn_kring(
     results = None
     ring = initial_ring
     while True:
-        kr = _kring_udf(res, ring)
         # ring cells are array_distinct'ed and an entity lives in exactly
         # one cell, so (query, entity) pairs are already unique — no
-        # dedup shuffle needed
+        # dedup shuffle needed. k_ring_col is a pure Catalyst expression:
+        # the candidate generator has NO Python stage.
         cand = (
-            remaining.withColumn("_cells", kr(F.col("_q_lon"), F.col("_q_lat")))
-            .withColumn("_e_cell", F.explode(F.array_distinct("_cells")))
-            .drop("_cells")
+            remaining.withColumn(
+                "_e_cell",
+                F.explode(
+                    F.array_distinct(
+                        C.k_ring_col(F.col("_q_lon"), F.col("_q_lat"), res, ring)
+                    )
+                ),
+            )
             .join(ent, "_e_cell")
             .withColumn(
                 "dist_km",
