@@ -316,6 +316,24 @@ multiprocessing scale-up (no Spark) measures
 (CPU steal + clock effects), so the engine reaches
 **{s['efficiency_vs_hardware_ceiling']}** of the hardware ceiling.
 
+## Skew evidence (hot cells)
+
+60M-row join against a 100k-key dim with 50% of rows on 3 hot keys
+(the dense-city-cell distribution; datagen plants the same skew),
+local[32], min of 2, measured 2026-08-16:
+
+| strategy | wall (s) |
+|---|---|
+| sort-merge join, AQE skew-join OFF | 46.0 |
+| sort-merge join, AQE skew-join ON (engine default) | 13.1 |
+| explicit salted hash join (salt 32, AQE OFF) | 36.8 |
+
+AQE's skew-split (on by default in `session.py`) is the primary
+mitigation — it splits the oversized shuffle blocks at runtime; the
+explicit salting helpers (`operators/spatial_join.py::salted_*`)
+remain for skew that materializes inside UDF stages where AQE can't
+observe it.
+
 Generated by `python bench.py --scaling`.
 """
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH.md"), "w") as f:
