@@ -320,10 +320,9 @@ def q_sessionize(spark, sf_dir):
     equivalent of session windows."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    new_s = (
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800)
-        | F.lag("ts").over(w).isNull()
-    ).cast("int")
+    # timestampdiff is timezone-free on NTZ values (unix_timestamp is not)
+    gap = F.expr("timestampdiff(SECOND, lag(ts) over (partition by user_id order by ts, event_id), ts)")
+    new_s = ((gap > 1800) | gap.isNull()).cast("int")
     sess = F.sum(new_s).over(
         Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -360,7 +359,9 @@ def q_event_windows(spark, sf_dir):
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            # string render of the NTZ value — independent of the
+            # session timezone (unix_timestamp on NTZ is not)
+            F.col("w.start").cast("string").alias("window_start"),
             "event_type",
             "n",
         )
@@ -368,7 +369,7 @@ def q_event_windows(spark, sf_dir):
 
 
 SQL_WINDOWS = """
-SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS window_start,
+SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS window_start,
        event_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2
 """
