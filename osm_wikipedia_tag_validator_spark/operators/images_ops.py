@@ -19,7 +19,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..datagen.codecs import decode_image, encode_image, psnr
 from ..functions.imagefns import ahash64, block_mean_resize, luma, resize_nearest
@@ -56,6 +56,58 @@ def extract_features(images: DataFrame) -> DataFrame:
             )
 
     return images.mapInPandas(gen, FEATURES_SCHEMA)
+
+
+COMPARE_SCHEMA = (
+    "image_id string, fmt string, psnr_db double, pixels_ok boolean, caption_ok boolean"
+)
+
+
+def compare_against_reference(
+    images: DataFrame, reference: DataFrame, min_psnr_db: float = 40.0
+) -> DataFrame:
+    """THE per-row invariant of BASELINE.json input_hint, verbatim:
+    decoded-pixel allclose (PSNR ≥ 40 dB for lossy formats; exact for
+    lossless) + BYTE-EXACT caption equality, row-matched against a
+    reference table on image_id.
+
+    Physical plan: equi-join on image_id (shuffle-hash both-sides-big,
+    or bucketed co-located at scale) → one Arrow-batched decode+compare
+    stage. Rows missing from either side surface as pixels_ok=false.
+    """
+    ref = reference.select(
+        F.col("image_id"),
+        F.col("bytes").alias("ref_bytes"),
+        F.col("fmt").alias("ref_fmt"),
+        F.col("caption").alias("ref_caption"),
+    )
+    joined = images.select("image_id", "bytes", "fmt", "caption").join(
+        ref.hint("shuffle_hash"), "image_id", "full_outer"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.bytes is None or r.ref_bytes is None:
+                    rows.append((r.image_id, r.fmt or r.ref_fmt, 0.0, False, False))
+                    continue
+                a = decode_image(bytes(r.bytes))
+                b = decode_image(bytes(r.ref_bytes))
+                if a.shape != b.shape:
+                    rows.append((r.image_id, r.fmt, 0.0, False, r.caption == r.ref_caption))
+                    continue
+                p = psnr(a, b)
+                lossy = (r.fmt == "jpeg") or (r.ref_fmt == "jpeg")
+                ok = (p >= min_psnr_db) if lossy else (p == float("inf"))
+                rows.append(
+                    (r.image_id, r.fmt, float(min(p, 1e9)), bool(ok), r.caption == r.ref_caption)
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "fmt", "psnr_db", "pixels_ok", "caption_ok"]
+            )
+
+    return joined.mapInPandas(gen, COMPARE_SCHEMA)
 
 
 VERIFY_SCHEMA = "image_id string, fmt string, psnr double, phash_match boolean, caption_ok boolean"

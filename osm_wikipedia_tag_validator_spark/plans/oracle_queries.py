@@ -698,6 +698,38 @@ def q_embedding_neardup(spark, sf_dir):
     return DD.embedding_neardup_pairs(e, threshold=0.8)
 
 
+def q_merge_upsert(spark, sf_dir):
+    """J2 MERGE through the operator itself: 'base' = orders before
+    1997, 'delta' = orders from 1996 on (overlapping year exercises the
+    newer-wins branch); result = newest row per customer."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "_ts", F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) + F.col("o_orderkey") % 86400
+    )
+    base = o.filter(F.col("o_orderdate") < "1997-01-01")
+    delta = o.filter(F.col("o_orderdate") >= "1996-01-01")
+    merged = UP.merge_upsert(base, delta, key_cols=["o_custkey"], ts_col="_ts")
+    return merged.select(
+        "o_custkey", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )
+
+
+SQL_MERGE_UPSERT = """
+WITH u AS (
+  SELECT *, EPOCH(o_orderdate) + o_orderkey % 86400 AS _ts
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  UNION ALL
+  SELECT *, EPOCH(o_orderdate) + o_orderkey % 86400 AS _ts
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+)
+SELECT o_custkey, o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY _ts DESC) AS rn
+  FROM u
+) WHERE rn = 1
+"""
+
+
 def q_cell_parent_rollup(spark, sf_dir):
     """Hierarchical cell rollup: encode at res 7, coarsen to res 4 via
     bit math (parent_cell_col), count per parent — the partition-
@@ -826,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "latest_order_per_customer": q_latest_order_per_customer,
+        "merge_upsert": q_merge_upsert,
         "top_stalest": q_top_stalest,
         "argmax_acctbal": q_argmax_acctbal,
         "broadcast_join_revenue": q_broadcast_join_revenue,
@@ -870,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": SQL_PRICING,
         "latest_order_per_customer": SQL_LATEST_ORDER,
+        "merge_upsert": SQL_MERGE_UPSERT,
         "top_stalest": SQL_TOP_STALEST,
         "argmax_acctbal": SQL_ARGMAX,
         "broadcast_join_revenue": SQL_BROADCAST_JOIN,

@@ -87,3 +87,18 @@ def test_streaming_latest_per_key(spark, tmp_path):
         SE.latest_state_per_key(stream), "latest_keys", output_mode="append"
     ).toPandas()
     assert out["user_id"].is_unique
+
+
+def test_compare_against_reference(spark, images):
+    diff = IO.compare_against_reference(images, images).toPandas()
+    assert diff["pixels_ok"].all() and diff["caption_ok"].all()
+    ref = images.withColumn(
+        "caption",
+        F.when(F.col("image_id") < "img-000000010", F.lit("CORRUPT")).otherwise(
+            F.col("caption")
+        ),
+    ).filter(F.col("image_id") != "img-000000020")
+    d = IO.compare_against_reference(images, ref).toPandas().set_index("image_id")
+    assert not d.loc["img-000000005", "caption_ok"]
+    assert not d.loc["img-000000020", "pixels_ok"]  # missing from reference
+    assert d.loc["img-000000030", "caption_ok"] and d.loc["img-000000030", "pixels_ok"]
