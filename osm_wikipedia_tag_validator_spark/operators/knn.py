@@ -25,7 +25,6 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
-from pyspark.sql import types as T
 
 from ..functions import cells as C
 
@@ -71,13 +70,6 @@ def knn_bruteforce(
 
     from ..functions.geometry import haversine_km
 
-    ent_pdf = (
-        entities.select(
-            F.col(e_key).alias("k"), F.col(e_lon).alias("lon"), F.col(e_lat).alias("lat")
-        )
-        .toPandas()
-        .sort_values("k")
-    )
     q = queries.select(
         F.col(q_key).alias("_q_key"),
         F.col(q_lon).alias("_q_lon"),
@@ -89,8 +81,19 @@ def knn_bruteforce(
     par = queries.sparkSession.sparkContext.defaultParallelism
     if q.rdd.getNumPartitions() < par:
         q = q.repartition(par)
-    if len(ent_pdf) > max_inline_entities:
+    # size check BEFORE collecting: an over-limit entity table must never
+    # reach toPandas() — that driver materialization is exactly what the
+    # threshold protects against (limit+count touches only the first
+    # max_inline_entities+1 rows, it never pulls data to the driver)
+    if entities.limit(max_inline_entities + 1).count() > max_inline_entities:
         return _knn_crossjoin_window(q, entities, k, q_key, e_key, e_lon, e_lat)
+    ent_pdf = (
+        entities.select(
+            F.col(e_key).alias("k"), F.col(e_lon).alias("lon"), F.col(e_lat).alias("lat")
+        )
+        .toPandas()
+        .sort_values("k")
+    )
     e_keys = ent_pdf["k"].to_numpy()
     e_lons = ent_pdf["lon"].to_numpy(dtype=np.float64)
     e_lats = ent_pdf["lat"].to_numpy(dtype=np.float64)
@@ -156,16 +159,6 @@ def _knn_crossjoin_window(q, entities, k, q_key, e_key, e_lon, e_lat) -> DataFra
     )
 
 
-def _kring_udf(res: int, k: int):
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def kring(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        cells = C.cell_encode(lon.to_numpy(), lat.to_numpy(), res)
-        rings = C.k_ring(cells, k)
-        return pd.Series(list(rings))
-
-    return kring
-
-
 def _ring_min_dist_col(res: int, explored_ring: int, q_lat: Column) -> Column:
     """Per-query lower bound (km) on the distance to any point in a
     cell NOT yet explored (Chebyshev distance > explored_ring = r).
@@ -203,10 +196,21 @@ def knn_kring(
     q_lat: str = "lat",
     e_lon: str = "lon",
     e_lat: str = "lat",
+    max_inline_entities: int = 100_000,
 ) -> DataFrame:
     """Exact kNN via k-ring candidate equi-join with provable-converged
     escalation. Scales when BOTH sides are big: the join is a cell
     equi-join (shuffle hash / sort-merge on cell), never a cross join.
+
+    Cost rule (regime selection): when the entity side fits in a
+    broadcastable matrix (≤ max_inline_entities) the map-side
+    brute-force path is strictly cheaper — one vectorized pass, zero
+    shuffle, no escalation rounds — so this function DELEGATES to it
+    and reserves the k-ring index for the both-sides-big regime where
+    it is the right 100 TB plan (measured 7× at sf0.1 the other way:
+    knn_kring 20.7 s vs knn 3.0 s on a 10k-entity side). Pass
+    max_inline_entities=0 to force the index path (tests/bench do, to
+    exercise the genuine escalation machinery).
 
     Escalation loop runs on the driver over a shrinking query set;
     each round is one Spark job over CACHED inputs (no lineage
@@ -217,6 +221,16 @@ def knn_kring(
     fine a grid on a sparse entity set needs huge rings (slow); too
     coarse degenerates to brute force per cell.
     """
+    if (
+        max_inline_entities > 0
+        and entities.limit(max_inline_entities + 1).count() <= max_inline_entities
+    ):
+        return knn_bruteforce(
+            queries, entities, k,
+            q_key=q_key, e_key=e_key, q_lon=q_lon, q_lat=q_lat,
+            e_lon=e_lon, e_lat=e_lat,
+            max_inline_entities=max_inline_entities,
+        )
     ent = entities.select(
         F.col(e_key).alias("_e_key"),
         F.col(e_lon).alias("_e_lon"),

@@ -15,13 +15,20 @@ def report_pages(validated: DataFrame, error_catalog: DataFrame) -> DataFrame:
     """S8 per-(region, category) report rows: grouped by error class,
     deduplicated identical rendered messages, deterministically ordered
     (`generate_webpage_with_error_output.py:66-109`: `added_reports`
-    dedup at :69,86-95, sort by osm_object_url at :78)."""
+    dedup at :69,86-95, sort by osm_object_url at :78).
+
+    Unrouted error classes are NOT silently renamed: `category` stays
+    NULL so they surface (and `note_unused_errors` reports them — the
+    reference prints exactly that consistency complaint,
+    `generate_webpage_with_error_output.py:265-275`)."""
     cat = F.broadcast(error_catalog.select("error_id", "category"))
     w = Window.partitionBy("area_identifier", "error_id").orderBy("osm_object_url")
+    errs = validated.filter(F.col("status") == "error")
+    if "suppressed" in validated.columns:
+        errs = errs.filter(~F.col("suppressed"))
     return (
-        validated.filter(F.col("status") == "error")
+        errs
         .join(cat, "error_id", "left")
-        .withColumn("category", F.coalesce("category", F.lit("unknown")))
         .dropDuplicates(["area_identifier", "error_id", "osm_object_url"])
         .withColumn("row_in_class", F.row_number().over(w))
         .select(
@@ -33,6 +40,21 @@ def report_pages(validated: DataFrame, error_catalog: DataFrame) -> DataFrame:
             "row_in_class",
         )
     )
+
+
+def note_unused_errors(validated: DataFrame, error_catalog: DataFrame) -> DataFrame:
+    """The reference's `note_unused_errors` consistency check
+    (`generate_webpage_with_error_output.py:265-275`): every produced
+    error_id must be routed to SOME category page. Returns the
+    (area_identifier, error_id, n) rows that would fall through —
+    empty means consistent; pipelines assert emptiness in tests."""
+    produced = (
+        validated.filter(F.col("status") == "error")
+        .groupBy("area_identifier", "error_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    routed = F.broadcast(error_catalog.select("error_id"))
+    return produced.join(routed, "error_id", "left_anti")
 
 
 def index_rollup(validated: DataFrame, regions: DataFrame, error_catalog: DataFrame) -> DataFrame:

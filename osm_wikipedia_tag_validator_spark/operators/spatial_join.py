@@ -177,7 +177,15 @@ def _pip_join_native(points, polygons, lon_col, lat_col, res) -> DataFrame:
     lat = F.col(lat_col)
 
     def crossing(e):
-        xint = e["x0"] + (lat - e["y0"]) * (e["x1"] - e["x0"]) / (e["y1"] - e["y0"])
+        # try_divide, not /: horizontal edges have y1 == y0 and under
+        # ANSI mode (Spark 4 default) a raw double division by zero
+        # throws DIVIDE_BY_ZERO the moment common-subexpression
+        # elimination evaluates xint outside the short-circuiting And.
+        # try_divide yields NULL → `lon < NULL` is NULL → the edge is
+        # (correctly) not counted as a crossing.
+        xint = e["x0"] + F.try_divide(
+            (lat - e["y0"]) * (e["x1"] - e["x0"]), e["y1"] - e["y0"]
+        )
         return ((e["y0"] > lat) != (e["y1"] > lat)) & (lon < xint)
 
     def on_edge(e):

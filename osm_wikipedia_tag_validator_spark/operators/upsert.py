@@ -40,12 +40,26 @@ def merge_upsert(
     key_cols: list[str] | None = None,
     ts_col: str = "download_timestamp",
 ) -> DataFrame:
-    """MERGE: delta wins when newer, base kept otherwise, inserts pass
+    """MERGE: delta wins only when STRICTLY newer, base kept otherwise
+    (including ts ties — `load_osm_file.py:34` keeps the existing row
+    unless `timestamp > present_already_timestamp`), inserts pass
     through. Equivalent to Iceberg `MERGE INTO base USING delta ON keys
     WHEN MATCHED AND delta.ts > base.ts THEN UPDATE * WHEN NOT MATCHED
-    THEN INSERT *`."""
+    THEN INSERT *`.
+
+    Determinism: rows are tagged with a source rank (base=0, delta=1)
+    before the union and the window orders by (desc ts, asc source), so
+    a delta row with ts equal to the base row deterministically loses."""
     key_cols = key_cols or ["type", "id"]
-    return latest_per_key(base.unionByName(delta), key_cols, ts_col)
+    unioned = base.withColumn("_src", F.lit(0)).unionByName(
+        delta.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(ts_col), F.asc("_src"))
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
 
 
 def invalidate_stale(

@@ -159,7 +159,13 @@ def classify(df: DataFrame, region_lang_col: str = "language_code",
 def apply_ignored_problems(df: DataFrame, regions: DataFrame,
                            region_col: str = "area_identifier") -> DataFrame:
     """P8 (`script.py:195-200,309-313`): drop per-region ignored error
-    classes — an anti-join against the exploded broadcast skip-list."""
+    classes — an anti-join against the exploded broadcast skip-list.
+
+    REPORT-SINK-ONLY semantics: the reference keeps the row in its
+    state table and merely `continue`s past it when rendering
+    (`script.py:309-313`), so this anti-join must never run inside the
+    state pipeline — use `mark_ignored_problems` there and filter on
+    `suppressed` at the sinks."""
     skip = F.broadcast(
         regions.select(
             F.col("internal_region_name").alias(region_col),
@@ -167,6 +173,26 @@ def apply_ignored_problems(df: DataFrame, regions: DataFrame,
         )
     )
     return df.join(skip, [region_col, "error_id"], "left_anti")
+
+
+def mark_ignored_problems(df: DataFrame, regions: DataFrame,
+                          region_col: str = "area_identifier") -> DataFrame:
+    """P8, state-preserving form: adds `suppressed` (boolean) — true iff
+    the row's error class is in its region's ignored_problems list. The
+    row itself survives (the reference stores the complaint and skips
+    it only at reporting time, `script.py:309-313`), so incremental
+    state never loses these elements between rounds."""
+    skip = F.broadcast(
+        regions.select(
+            F.col("internal_region_name").alias(region_col),
+            F.explode("ignored_problems").alias("error_id"),
+        ).withColumn("_suppressed", F.lit(True))
+    )
+    return (
+        df.join(skip, [region_col, "error_id"], "left")
+        .withColumn("suppressed", F.coalesce("_suppressed", F.lit(False)))
+        .drop("_suppressed")
+    )
 
 
 def build_report(df: DataFrame) -> DataFrame:
@@ -216,8 +242,10 @@ def validate(
     inside_region_col: str | None = None,
 ) -> DataFrame:
     """Full V1 pipeline: relevance filter → tag extract → entity joins →
-    region-language join → cascade → ignored-problems anti-join →
-    report struct. Pure DataFrame ops; Catalyst broadcasts every dim."""
+    region-language join → cascade → ignored-problems MARK (not drop:
+    suppressed rows stay in state, reference `script.py:309-313`) →
+    report struct. Pure DataFrame ops; Catalyst broadcasts every dim.
+    Report sinks filter on the `suppressed` column."""
     rel = elements.filter(relevance_filter(elements))
     tagged = extract_wiki_tags(rel)
     joined = join_wiki_entities(tagged, wiki)
@@ -233,5 +261,5 @@ def validate(
         with_lang,
         inside_region_col=inside_region_col,
     )
-    routed = apply_ignored_problems(classified, regions)
-    return build_report(routed)
+    marked = mark_ignored_problems(classified, regions)
+    return build_report(marked)

@@ -320,9 +320,12 @@ def q_sessionize(spark, sf_dir):
     equivalent of session windows."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # timestampdiff is timezone-free on NTZ values (unix_timestamp is not)
-    gap = F.expr("timestampdiff(SECOND, lag(ts) over (partition by user_id order by ts, event_id), ts)")
-    new_s = ((gap > 1800) | gap.isNull()).cast("int")
+    # timestampdiff is timezone-free on NTZ values (unix_timestamp is not).
+    # MICROSECOND, not SECOND: the DuckDB oracle's EPOCH() keeps sub-second
+    # precision, and a 1800.886s gap must open a new session on both sides
+    # (SECOND truncation called it 1800 and merged the sessions).
+    gap = F.expr("timestampdiff(MICROSECOND, lag(ts) over (partition by user_id order by ts, event_id), ts)")
+    new_s = ((gap > 1_800_000_000) | gap.isNull()).cast("int")
     sess = F.sum(new_s).over(
         Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -813,12 +816,24 @@ FROM links
 #     semantics are pinned by the pytest brute-force oracles instead) ---
 
 def q_spatial_error_reports(spark, sf_dir):
-    """The flagship validator pipeline's report rows (V1+J1+J5+P*)."""
+    """The flagship validator pipeline's report rows (V1+J1+J5+P*).
+
+    The report struct (contains map columns) is projected through
+    `to_json` so the driver's pandas canonicalizer can sort/hash the
+    rows — map/dict cells are unhashable in pandas."""
     from . import pipeline as P
 
     inputs = P.build_inputs(spark, 500)
     validated = P.validated_elements(inputs)
-    return P.error_reports(validated, inputs["regions"])
+    reports = P.error_reports(validated, inputs["regions"])
+    return reports.select(
+        "area_identifier",
+        "type",
+        "id",
+        "error_id",
+        "osm_object_url",
+        F.to_json("report").alias("report_json"),
+    )
 
 
 def q_tile_vector_assignment(spark, sf_dir):

@@ -44,14 +44,24 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
-def latest_state_per_key(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Streaming dedup-to-latest (W1/J2 as a stream): keep the newest
-    event per user within the watermark horizon via dropDuplicates on
-    monotonic state."""
+def latest_state_per_key(events: DataFrame, watermark: str = "2 hours",
+                         key: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """Streaming dedup-to-latest (W1/J2 as a stream): keep the
+    EVENT-TIME-NEWEST row per key via a max_by stateful aggregation.
+
+    dropDuplicatesWithinWatermark would keep the FIRST-ARRIVING row per
+    key, so out-of-order micro-batches would pin a stale row forever —
+    max_by keeps the event-time max regardless of arrival order. Run
+    with outputMode='update' (each batch emits keys whose latest row
+    changed; the sink upserts)."""
+    e = events.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    )
+    others = [c for c in e.columns if c != key]
     return (
-        events.withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["user_id"])
+        e.groupBy(key)
+        .agg(F.max_by(F.struct(*others), F.col(ts_col)).alias("_s"))
+        .select(key, "_s.*")
     )
 
 

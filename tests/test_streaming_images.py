@@ -79,14 +79,25 @@ def test_streaming_windowed_counts(spark, tmp_path):
 
 
 def test_streaming_latest_per_key(spark, tmp_path):
+    # out-of-order micro-batches: write the events SHUFFLED into many
+    # small files so later-arriving batches carry earlier event times —
+    # max_by semantics must still surface the event-time max per key
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     src = str(tmp_path / "stream_src2")
-    ev.write.parquet(src)
-    stream = SE.stream_events_from_files(spark, src, ev.schema, max_files_per_trigger=10)
+    ev.withColumn("b", F.xxhash64("event_id") % 8).repartition("b").drop("b").write.parquet(src)
+    stream = SE.stream_events_from_files(spark, src, ev.schema, max_files_per_trigger=2)
     out = SE.run_stream_to_memory(
-        SE.latest_state_per_key(stream), "latest_keys", output_mode="append"
+        SE.latest_state_per_key(stream), "latest_keys", output_mode="update"
     ).toPandas()
-    assert out["user_id"].is_unique
+    # update-mode memory sink appends every changed row; the LAST
+    # occurrence per key is the final state — must equal the batch max
+    final = out.groupby("user_id").tail(1).set_index("user_id")["ts"]
+    batch = (
+        ev.groupBy("user_id").agg(F.max("ts").alias("ts")).toPandas()
+        .set_index("user_id")["ts"]
+    )
+    assert len(final) == len(batch)
+    assert (final.sort_index() == batch.sort_index()).all()
 
 
 def test_compare_against_reference(spark, images):

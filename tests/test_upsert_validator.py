@@ -108,11 +108,40 @@ def test_validator_priority_order(spark):
     assert got == "malformed wikipedia tag"
 
 
-def test_ignored_problems_anti_join(spark):
-    # delta ignores 'wikipedia tag links to 404'
+def test_ignored_problems_mark_not_drop(spark):
+    # delta ignores 'wikipedia tag links to 404': the row SURVIVES in
+    # state (suppressed=True) — the reference stores the complaint and
+    # only skips it at report time (`script.py:309-313`)
+    from osm_wikipedia_tag_validator_spark.plans import pipeline as P
+
     regions, wiki = _mini_world(spark)
-    out = V.validate(_elem(spark, {"wikipedia": "en:Missing"}, area="delta"), wiki, regions).toPandas()
-    assert len(out) == 0
+    validated = V.validate(
+        _elem(spark, {"wikipedia": "en:Missing"}, area="delta"), wiki, regions
+    )
+    out = validated.toPandas()
+    assert len(out) == 1
+    assert out["suppressed"].iloc[0] == True  # noqa: E712
+    assert out["error_id"].iloc[0] == "wikipedia tag links to 404"
+    # ...but every report surface drops it
+    flagged = validated.withColumn("hidden", F.lit(False))
+    assert P.error_reports(flagged, regions).count() == 0
+    # a non-ignored region reports the same error
+    validated2 = V.validate(
+        _elem(spark, {"wikipedia": "en:Missing"}, area="alpha"), wiki, regions
+    )
+    assert not validated2.toPandas()["suppressed"].iloc[0]
+
+
+def test_ignored_problems_survive_incremental_round(spark):
+    # regression (round-1 ADVICE): suppressed rows must not vanish from
+    # incremental state between rounds
+    from osm_wikipedia_tag_validator_spark.plans import incremental as INC
+
+    regions, wiki = _mini_world(spark)
+    state = INC.initial_state(_elem(spark, {"wikipedia": "en:Missing"}, area="delta"))
+    after = INC.validate_unchecked(state, wiki, regions).toPandas()
+    assert len(after) == 1
+    assert after["status"].iloc[0] == "error"
 
 
 def test_report_struct_fields(spark):
