@@ -55,32 +55,18 @@ WIKI_KEYS = [
 
 N_ENTITIES = 2000
 
-ERROR_CATALOG = [
-    # (error_id, category, priority)  — lower priority number wins, mirroring
-    # "most important problem" selection (`script.py:329` /
-    # get_the_most_important_problem_generic) and the category routing pages
-    # of generate_webpage_with_error_output.py (obvious :277-333,
-    # for_review :335-540, for_tests :542-670, ignored :672-1081).
-    ("malformed wikipedia tag", "review", 0),
-    ("malformed wikidata tag", "review", 1),
-    ("wikipedia tag links to 404", "review", 2),
-    ("wikidata tag links to 404", "review", 3),
-    ("wikipedia wikidata mismatch", "review", 4),
-    ("wikidata tag links to a redirect", "obvious", 5),
-    ("wikipedia tag links to a redirect", "obvious", 6),
-    ("wikipedia tag links to a disambiguation page", "tests", 7),
-    ("should use a secondary wikipedia tag - linking to a human", "review", 8),
-    ("wikipedia tag unexpected language", "review", 9),
-    ("element outside declared region", "review", 10),
-    ("wikipedia tag in outdated form", "ignored", 11),
-]
-
-
 def gen_error_catalog() -> pd.DataFrame:
+    """The routing catalog dim table, generated from the validator's
+    single-source rule table (`operators/validator.py::catalog_rows`) —
+    the engine's analog of the reference's programmatic routing-list
+    builders (`generate_webpage_with_error_output.py:277-1081`: lower
+    priority wins, mirroring "most important problem" selection)."""
+    from ..operators.validator import catalog_rows
+
     return pd.DataFrame(
         [
-            {"error_id": e, "category": c, "priority": p}
-            for (e, c, p) in ERROR_CATALOG
+            {"error_id": e, "category": c, "priority": p, "rule_family": fam}
+            for (e, c, p, fam) in catalog_rows()
         ]
     )
 
@@ -219,6 +205,7 @@ def gen_elements_batch(ids: np.ndarray) -> pd.DataFrame:
     malformed = u01(hash2(h, 12)) < 0.05
     both_tags = u01(hash2(h, 13)) < 0.15  # wikipedia AND wikidata
     mismatch = u01(hash2(h, 14)) < 0.3  # of those, point at different entities
+    old_style = u01(hash2(h, 18)) < 0.04  # wikipedia:<lang>=Article (invalid old form)
 
     ts = np.int64(1_700_000_000) + (splitmix64(hash2(h, 15)) % np.uint64(900_000)).astype(
         np.int64
@@ -235,12 +222,17 @@ def gen_elements_batch(ids: np.ndarray) -> pd.DataFrame:
             if wiki_tagged[i]:
                 k = keys[i]
                 e = int(ent[i]) if gen == 0 else (int(ent[i]) + 1) % N_ENTITIES
-                if "wikidata" in k:
+                if old_style[i]:
+                    # reference 'invalid old-style wikipedia tag':
+                    # wikipedia:<lang>=Article instead of wikipedia=<lang>:Article
+                    tags[f"wikipedia:{langs[i]}"] = f"Article{e}"
+                elif "wikidata" in k:
                     val = f"Q{e}" if not malformed[i] else f"wd-{e}"
+                    tags[k] = val
                 else:
                     val = f"{langs[i]}:Article{e}" if not malformed[i] else f"Article{e}"
-                tags[k] = val
-                if both_tags[i] and "wikidata" not in k:
+                    tags[k] = val
+                if both_tags[i] and not old_style[i] and "wikidata" not in k:
                     e2 = e if not mismatch[i] else (e + 7) % N_ENTITIES
                     tags["wikidata"] = f"Q{e2}"
             rows.append(tags)
@@ -298,9 +290,14 @@ def gen_wiki_entities(n: int = N_ENTITIES) -> pd.DataFrame:
     disambig = (~redirect) & (u01(hash2(h, 3)) < 0.05)
     exists = u01(hash2(h, 4)) >= 0.08
     inst_r = u01(hash2(h, 5))
-    instance_of = np.where(
-        inst_r < 0.1, "human", np.where(inst_r < 0.2, "brand", np.where(inst_r < 0.7, "place", "generic"))
-    )
+    # class spread covers every secondary-class phrase the validator
+    # routes (SECONDARY_CLASS_PHRASES), plus place/generic (no error)
+    instance_of = np.select(
+        [inst_r < 0.08, inst_r < 0.14, inst_r < 0.17, inst_r < 0.20,
+         inst_r < 0.23, inst_r < 0.26, inst_r < 0.7],
+        ["human", "brand", "battle", "given name", "taxon", "event", "place"],
+        default="generic",
+    ).astype(object)
     lon = _quantize(WORLD["lon_min"] + u01(hash2(h, 6)) * (WORLD["lon_max"] - WORLD["lon_min"]))
     lat = _quantize(WORLD["lat_min"] + u01(hash2(h, 7)) * (WORLD["lat_max"] - WORLD["lat_min"]))
     has_coord = u01(hash2(h, 8)) < 0.7

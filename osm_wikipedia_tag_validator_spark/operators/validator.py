@@ -3,19 +3,33 @@
 Reference: `update_problem_for_entry` (`script.py:318-347`) calls
 `get_the_most_important_problem_generic(tags, location, type, id)` per
 row in a Python loop (`script.py:304-315`), hitting a networked wiki
-cache per element. Here the wiki lookups become two JOINS against the
+cache per element. Here the wiki lookups become three JOINS against the
 `wiki_entities` dim table and the rule cascade becomes a priority-
 ordered `F.when` chain — whole-stage-codegen JVM expressions, zero
 Python in the hot path (beats even a pandas UDF).
 
 Rule priority mirrors "most important problem" selection: the first
-matching rule wins. The tri-state complaint of the reference
-(`database.py:9-14`: NULL = unchecked, '' = clean, JSON = error) is
-promoted to a typed `status` enum + report struct (SURVEY.md §1.1).
+matching rule wins, and the ORDER IS DATA-DRIVEN — `RULE_PRIORITIES`
+below is the single source both for the cascade order and for the
+generated error catalog (`CATALOG`/`catalog_rows()`), the engine's
+analog of the reference's routing list builders
+(`generate_webpage_with_error_output.py:277-1081`: obvious_fixes
+:277-333, for_review :335-540, for_tests :542-670, ignored :672-1081 —
+which likewise GENERATE ids programmatically: "should use a secondary
+wikipedia tag - linking from {wikipedia|wikidata|wikipedia and
+wikidata} tag to a {class}", "malformed secondary wikidata tag - for
+{prefix} prefixed tags", ...).
+
+The tri-state complaint of the reference (`database.py:9-14`: NULL =
+unchecked, '' = clean, JSON = error) is promoted to a typed `status`
+enum + report struct (SURVEY.md §1.1).
 
 Output adds columns:
   error_id       string (NULL = clean)
   status         'error' | 'clean'   (unchecked rows simply aren't here)
+  suppressed     boolean — error class is region-ignored; the row STAYS
+                 (reference keeps it and skips only the report,
+                 `script.py:309-313`); report sinks filter on this
   report         struct<error_id, error_message, prerequisite,
                         proposed_tagging_changes, osm_object_url>
 """
@@ -34,6 +48,100 @@ REPORT_SCHEMA = (
     "osm_object_url:string>"
 )
 
+# instance-of class → the article-class phrase used in the generated
+# error id, reference format `generate_webpage_with_error_output.py:
+# 345-420` ("should use a secondary wikipedia tag - linking from
+# <from_tags> tag to <phrase>")
+SECONDARY_CLASS_PHRASES = {
+    "human": "a human",
+    "brand": "a brand",
+    "battle": "a battle",
+    "given name": "a given name",
+    "taxon": "an animal or plant (and not an individual one)",
+    "event": "a historical event",
+}
+
+_FROM_TAGS = ["wikipedia and wikidata", "wikipedia", "wikidata"]
+
+# secondary-key prefixes (reference: "malformed secondary wikipedia tag
+# - for {prefix} prefixed tags", `generate_webpage…py:437-455,500-530`)
+_SECONDARY_WP_PREFIXES = [
+    k.removesuffix(":wikipedia") for k in PRIMARY_WIKIPEDIA_KEYS if k != "wikipedia"
+]
+_SECONDARY_WD_PREFIXES = [k.removesuffix(":wikidata") for k in SECONDARY_WIKIDATA_KEYS]
+
+# ---------------------------------------------------------------------------
+# The routing catalog — single source for cascade order AND category
+# routing. (family, category, [error ids]) in priority order; the
+# datagen dim table and the report sinks both derive from this.
+# ---------------------------------------------------------------------------
+
+RULE_PRIORITIES: dict[str, int] = {
+    "malformed_wikipedia": 0,
+    "malformed_secondary_wikipedia": 1,
+    "malformed_wikidata": 2,
+    "malformed_secondary_wikidata": 3,
+    "old_style_wikipedia": 4,
+    "wikipedia_404": 5,
+    "wikidata_404": 6,
+    "secondary_wikidata_404": 7,
+    "mismatch_follow_wikipedia_redirect": 8,
+    "mismatch_follow_wikidata_redirect": 9,
+    "mismatch": 10,
+    "wikidata_redirect": 11,
+    "wikipedia_redirect": 12,
+    "wikipedia_disambig": 13,
+    "secondary_class": 14,
+    "wrong_language": 15,
+    "outside_region": 16,
+}
+
+
+def catalog_rows() -> list[tuple[str, str, int, str]]:
+    """(error_id, category, priority, family) — every concrete error id
+    the cascade can emit, generated like the reference's list builders.
+    Category semantics: obvious = bot-fixable with a proposed change,
+    review = human page, tests = experimental page, ignored = never
+    rendered (`generate_webpage_with_error_output.py:277-1081`)."""
+    P = RULE_PRIORITIES
+    rows: list[tuple[str, str, int, str]] = [
+        ("malformed wikipedia tag", "review", P["malformed_wikipedia"], "malformed_wikipedia"),
+        ("malformed wikidata tag", "review", P["malformed_wikidata"], "malformed_wikidata"),
+        ("invalid old-style wikipedia tag", "review", P["old_style_wikipedia"], "old_style_wikipedia"),
+        ("wikipedia tag links to 404", "review", P["wikipedia_404"], "wikipedia_404"),
+        ("wikidata tag links to 404", "review", P["wikidata_404"], "wikidata_404"),
+        ("secondary wikidata tag links to 404", "review", P["secondary_wikidata_404"], "secondary_wikidata_404"),
+        ("wikipedia wikidata mismatch - follow wikipedia redirect", "obvious",
+         P["mismatch_follow_wikipedia_redirect"], "mismatch_follow_wikipedia_redirect"),
+        ("wikipedia wikidata mismatch - follow wikidata redirect", "obvious",
+         P["mismatch_follow_wikidata_redirect"], "mismatch_follow_wikidata_redirect"),
+        ("wikipedia wikidata mismatch", "review", P["mismatch"], "mismatch"),
+        ("wikidata tag links to a redirect", "obvious", P["wikidata_redirect"], "wikidata_redirect"),
+        ("wikipedia tag links to a redirect", "obvious", P["wikipedia_redirect"], "wikipedia_redirect"),
+        ("wikipedia tag links to a disambiguation page", "tests", P["wikipedia_disambig"], "wikipedia_disambig"),
+        ("wikipedia tag unexpected language", "review", P["wrong_language"], "wrong_language"),
+        ("element outside declared region", "review", P["outside_region"], "outside_region"),
+        # routed-but-never-rendered class (reference `ignored()` list)
+        ("wikipedia tag in outdated form", "ignored", 99, "legacy"),
+    ]
+    for pfx in _SECONDARY_WP_PREFIXES:
+        rows.append((
+            f"malformed secondary wikipedia tag - for {pfx} prefixed tags",
+            "review", P["malformed_secondary_wikipedia"], "malformed_secondary_wikipedia",
+        ))
+    for pfx in _SECONDARY_WD_PREFIXES:
+        rows.append((
+            f"malformed secondary wikidata tag - for {pfx} prefixed tags",
+            "review", P["malformed_secondary_wikidata"], "malformed_secondary_wikidata",
+        ))
+    for from_tags in _FROM_TAGS:
+        for phrase in SECONDARY_CLASS_PHRASES.values():
+            rows.append((
+                f"should use a secondary wikipedia tag - linking from {from_tags} tag to {phrase}",
+                "review", P["secondary_class"], "secondary_class",
+            ))
+    return rows
+
 
 def extract_wiki_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
     """Pull the wikipedia/wikidata payloads out of the tag map.
@@ -41,10 +149,17 @@ def extract_wiki_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
     Mirrors the relevance filter's substring semantics
     (`load_osm_file.py:17-21`): any key containing 'wikipedia' or
     'wikidata' makes the element relevant; the canonical keys above are
-    the ones validated.
+    the ones validated. Also captures WHICH key supplied each payload
+    (primary vs secondary routing needs it) and any old-style
+    `wikipedia:<lang>` key (reference 'invalid old-style wikipedia
+    tag').
     """
     t = F.col(tags_col)
     wp = F.coalesce(*[t.getItem(k) for k in PRIMARY_WIKIPEDIA_KEYS])
+    old_keys = F.filter(
+        F.map_keys(t), lambda k: k.rlike("^wikipedia:[a-z]{2,3}$")
+    )
+    old_key = F.array_min(old_keys)
     # one select, not a withColumn chain — each withColumn re-analyzes
     # the whole plan and the flagship's driver-side planning cost is a
     # serial Amdahl term at high DOP
@@ -57,6 +172,12 @@ def extract_wiki_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
         F.coalesce(
             *[F.when(t.getItem(k).isNotNull(), F.lit(k)) for k in PRIMARY_WIKIPEDIA_KEYS]
         ).alias("used_primary_wikipedia_key"),
+        F.coalesce(
+            F.when(t.getItem("wikidata").isNotNull(), F.lit("wikidata")),
+            *[F.when(t.getItem(k).isNotNull(), F.lit(k)) for k in SECONDARY_WIKIDATA_KEYS],
+        ).alias("used_wikidata_key"),
+        old_key.alias("old_style_wikipedia_key"),
+        F.when(old_key.isNotNull(), t.getItem(old_key)).alias("old_style_wikipedia_value"),
         F.get(F.split(wp, ":", 2), 0).alias("wikipedia_lang"),
         F.get(F.split(wp, ":", 2), 1).alias("wikipedia_article"),
     )
@@ -73,8 +194,9 @@ def relevance_filter(df: DataFrame, tags_col: str = "tags") -> Column:
 
 def join_wiki_entities(elements: DataFrame, wiki: DataFrame) -> DataFrame:
     """J1 (SURVEY §2.3): the reference's per-row cached network lookup
-    (`script.py:329`) as two broadcast joins — one on the wikipedia
-    article, one on the wikidata qid."""
+    (`script.py:329`) as three broadcast joins — on the wikipedia
+    article, on the wikidata qid, and on the wikipedia redirect target
+    (to resolve the redirect's article for proposed changes)."""
     wp = F.broadcast(
         wiki.select(
             F.col("article").alias("wikipedia_tag"),
@@ -94,16 +216,42 @@ def join_wiki_entities(elements: DataFrame, wiki: DataFrame) -> DataFrame:
             F.col("instance_of").alias("wd_instance_of"),
         )
     )
-    return elements.join(wp, "wikipedia_tag", "left").join(wd, "wikidata_tag", "left")
+    redir = F.broadcast(
+        wiki.select(
+            F.col("qid").alias("wp_redirect_to"),
+            F.col("article").alias("wp_redirect_article"),
+        )
+    )
+    return (
+        elements.join(wp, "wikipedia_tag", "left")
+        .join(wd, "wikidata_tag", "left")
+        .join(redir, "wp_redirect_to", "left")
+    )
 
 
-def classify(df: DataFrame, region_lang_col: str = "language_code",
-             inside_region_col: str | None = "inside_declared_region") -> DataFrame:
-    """Priority-ordered rule cascade → error_id (NULL = clean)."""
+def _phrase_map_col() -> Column:
+    kv: list[Column] = []
+    for inst, phrase in SECONDARY_CLASS_PHRASES.items():
+        kv.extend([F.lit(inst), F.lit(phrase)])
+    return F.create_map(*kv)
+
+
+def build_rules(
+    region_lang_col: str = "language_code",
+    inside_region_col: str | None = "inside_declared_region",
+) -> dict[str, tuple[Column, Column]]:
+    """family → (condition, error_id expression). Families with
+    GENERATED ids (secondary classes, prefixed malformed variants)
+    compute the id from row data — same shape as the reference's
+    string-building list generators."""
     wp = F.col("wikipedia_tag")
     wd = F.col("wikidata_tag")
     has_wp = wp.isNotNull()
     has_wd = wd.isNotNull()
+    used_wp = F.col("used_primary_wikipedia_key")
+    used_wd = F.col("used_wikidata_key")
+    wp_primary = used_wp == "wikipedia"
+    wd_plain = used_wd == "wikidata"
     wp_malformed = has_wp & ~wp.rlike("^[a-z]{2,3}:.+")
     wd_malformed = has_wd & ~wd.rlike("^Q[0-9]+$")
     wp_404 = has_wp & ~wp_malformed & (F.col("wp_qid").isNull() | ~F.col("wp_exists"))
@@ -122,33 +270,111 @@ def classify(df: DataFrame, region_lang_col: str = "language_code",
     wp_disambig = (
         has_wp & ~wp_404 & ~wp_malformed & F.coalesce("wp_is_disambiguation", F.lit(False))
     )
-    linking_human = (
-        (F.col("used_primary_wikipedia_key") == "wikipedia")
-        & (F.coalesce("wp_instance_of", F.lit("")) == "human")
+    # secondary-class rule fires only for PRIMARY tag links — a
+    # brand:wikipedia → brand article is CORRECT secondary usage
+    from_wp = has_wp & ~wp_malformed & ~wp_404 & wp_primary
+    from_wd = has_wd & ~wd_malformed & ~wd_404 & wd_plain
+    inst = F.coalesce(
+        F.when(from_wp, F.col("wp_instance_of")),
+        F.when(from_wd, F.col("wd_instance_of")),
     )
+    # try_element_at: plain element_at throws on a missing map key under
+    # ANSI mode; a non-secondary instance_of (place/generic/NULL) must
+    # simply yield NULL
+    phrase = F.try_element_at(_phrase_map_col(), inst)
+    from_desc = (
+        F.when(from_wp & from_wd, "wikipedia and wikidata")
+        .when(from_wp, "wikipedia")
+        .otherwise("wikidata")
+    )
+    secondary_class = (from_wp | from_wd) & phrase.isNotNull()
     wrong_lang = (
         has_wp
         & ~wp_malformed
         & F.col(region_lang_col).isNotNull()
         & (F.col("wikipedia_lang") != F.col(region_lang_col))
     )
-    cascade = (
-        F.when(wp_malformed, "malformed wikipedia tag")
-        .when(wd_malformed, "malformed wikidata tag")
-        .when(wp_404, "wikipedia tag links to 404")
-        .when(wd_404, "wikidata tag links to 404")
-        .when(mismatch, "wikipedia wikidata mismatch")
-        .when(wd_redirect, "wikidata tag links to a redirect")
-        .when(wp_redirect, "wikipedia tag links to a redirect")
-        .when(wp_disambig, "wikipedia tag links to a disambiguation page")
-        .when(linking_human, "should use a secondary wikipedia tag - linking to a human")
-        .when(wrong_lang, "wikipedia tag unexpected language")
-    )
+
+    def _lit(s: str) -> Column:
+        return F.lit(s)
+
+    rules: dict[str, tuple[Column, Column]] = {
+        "malformed_wikipedia": (wp_malformed & wp_primary, _lit("malformed wikipedia tag")),
+        "malformed_secondary_wikipedia": (
+            wp_malformed & ~wp_primary,
+            F.concat(
+                F.lit("malformed secondary wikipedia tag - for "),
+                F.regexp_replace(used_wp, ":wikipedia$", ""),
+                F.lit(" prefixed tags"),
+            ),
+        ),
+        "malformed_wikidata": (wd_malformed & wd_plain, _lit("malformed wikidata tag")),
+        "malformed_secondary_wikidata": (
+            wd_malformed & ~wd_plain,
+            F.concat(
+                F.lit("malformed secondary wikidata tag - for "),
+                F.regexp_replace(used_wd, ":wikidata$", ""),
+                F.lit(" prefixed tags"),
+            ),
+        ),
+        "old_style_wikipedia": (
+            F.col("old_style_wikipedia_key").isNotNull(),
+            _lit("invalid old-style wikipedia tag"),
+        ),
+        "wikipedia_404": (wp_404, _lit("wikipedia tag links to 404")),
+        "wikidata_404": (wd_404 & wd_plain, _lit("wikidata tag links to 404")),
+        "secondary_wikidata_404": (
+            wd_404 & ~wd_plain, _lit("secondary wikidata tag links to 404")
+        ),
+        "mismatch_follow_wikipedia_redirect": (
+            mismatch & F.col("wp_redirect_to").eqNullSafe(wd),
+            _lit("wikipedia wikidata mismatch - follow wikipedia redirect"),
+        ),
+        "mismatch_follow_wikidata_redirect": (
+            mismatch & F.col("wd_redirect_to").eqNullSafe(F.col("wp_qid")),
+            _lit("wikipedia wikidata mismatch - follow wikidata redirect"),
+        ),
+        "mismatch": (mismatch, _lit("wikipedia wikidata mismatch")),
+        "wikidata_redirect": (wd_redirect, _lit("wikidata tag links to a redirect")),
+        "wikipedia_redirect": (wp_redirect, _lit("wikipedia tag links to a redirect")),
+        "wikipedia_disambig": (
+            wp_disambig, _lit("wikipedia tag links to a disambiguation page")
+        ),
+        "secondary_class": (
+            secondary_class,
+            F.concat(
+                F.lit("should use a secondary wikipedia tag - linking from "),
+                from_desc,
+                F.lit(" tag to "),
+                phrase,
+            ),
+        ),
+        "wrong_language": (wrong_lang, _lit("wikipedia tag unexpected language")),
+    }
     if inside_region_col is not None:
-        cascade = cascade.when(
+        rules["outside_region"] = (
             ~F.coalesce(F.col(inside_region_col), F.lit(True)),
-            "element outside declared region",
+            _lit("element outside declared region"),
         )
+    return rules
+
+
+def classify(df: DataFrame, region_lang_col: str = "language_code",
+             inside_region_col: str | None = "inside_declared_region",
+             priorities: dict[str, int] | None = None) -> DataFrame:
+    """Priority-ordered rule cascade → error_id (NULL = clean).
+
+    The cascade ORDER comes from `priorities` (default
+    `RULE_PRIORITIES`, the same table the error catalog is generated
+    from) — "most important problem" selection is data, not code
+    structure."""
+    priorities = priorities or RULE_PRIORITIES
+    rules = build_rules(region_lang_col, inside_region_col)
+    ordered = sorted(rules.items(), key=lambda kv: priorities.get(kv[0], 10_000))
+    cascade: Column | None = None
+    for _fam, (cond, err) in ordered:
+        cascade = F.when(cond, err) if cascade is None else cascade.when(cond, err)
+    assert cascade is not None
     return df.select(
         "*",
         cascade.alias("error_id"),
@@ -197,7 +423,20 @@ def mark_ignored_problems(df: DataFrame, regions: DataFrame,
 
 def build_report(df: DataFrame) -> DataFrame:
     """Materialize the typed report struct (the reference's
-    validator_complaint JSON, `script.py:331-347`, as a StructType)."""
+    validator_complaint JSON, `script.py:331-347`, as a StructType).
+
+    F13 proposed-change extraction, full form
+    (`generate_webpage_with_error_output.py:216-234`, bot copy
+    `osm_editor_bot_for_approved_tasks.py:85-95`): every obvious-fix
+    class carries a from/to tag-map pair —
+
+      wikidata redirect (plain or mismatch-confirmed) →
+          {used wikidata key: Qold} → {key: Qtarget}
+      wikipedia redirect (plain or mismatch-confirmed) →
+          {used wikipedia key: old article} → {key: redirect article}
+      invalid old-style wikipedia tag →
+          {wikipedia:<lang>: Article} → {wikipedia: <lang>:Article}
+    """
     url = F.concat(
         F.lit("https://www.openstreetmap.org/"), F.col("type"), F.lit("/"), F.col("id")
     )
@@ -208,24 +447,51 @@ def build_report(df: DataFrame) -> DataFrame:
         ),
         lambda k, v: v.isNotNull(),
     )
-    # obvious-fix classes carry a proposed change (redirect follow)
-    change_to = F.when(
-        F.col("error_id") == "wikidata tag links to a redirect", F.col("wd_redirect_to")
-    )
-    changes = F.when(
-        change_to.isNotNull(),
-        F.array(
+    err = F.col("error_id")
+    used_wd = F.col("used_wikidata_key")
+    used_wp = F.col("used_primary_wikipedia_key")
+    old_key = F.col("old_style_wikipedia_key")
+    old_val = F.col("old_style_wikipedia_value")
+
+    def _change(key: Column, frm: Column, to: Column, to_key: Column | None = None) -> Column:
+        return F.array(
             F.struct(
-                F.create_map(F.lit("wikidata"), F.col("wikidata_tag")).alias("from"),
-                F.create_map(F.lit("wikidata"), change_to).alias("to"),
+                F.create_map(key, frm).alias("from"),
+                F.create_map(to_key if to_key is not None else key, to).alias("to"),
             )
-        ),
+        )
+
+    changes = (
+        F.when(
+            err.isin(
+                "wikidata tag links to a redirect",
+                "wikipedia wikidata mismatch - follow wikidata redirect",
+            ),
+            _change(used_wd, F.col("wikidata_tag"), F.col("wd_redirect_to")),
+        )
+        .when(
+            err.isin(
+                "wikipedia tag links to a redirect",
+                "wikipedia wikidata mismatch - follow wikipedia redirect",
+            )
+            & F.col("wp_redirect_article").isNotNull(),
+            _change(used_wp, F.col("wikipedia_tag"), F.col("wp_redirect_article")),
+        )
+        .when(
+            err == "invalid old-style wikipedia tag",
+            _change(
+                old_key,
+                old_val,
+                F.concat(F.regexp_replace(old_key, "^wikipedia:", ""), F.lit(":"), old_val),
+                to_key=F.lit("wikipedia"),
+            ),
+        )
     )
-    msg = F.concat(F.col("error_id"), F.lit(" for "), url)
+    msg = F.concat(err, F.lit(" for "), url)
     report = F.when(
-        F.col("error_id").isNotNull(),
+        err.isNotNull(),
         F.struct(
-            F.col("error_id"),
+            err.alias("error_id"),
             msg.alias("error_message"),
             prereq.alias("prerequisite"),
             changes.alias("proposed_tagging_changes"),
@@ -233,6 +499,36 @@ def build_report(df: DataFrame) -> DataFrame:
         ),
     )
     return df.select("*", url.alias("osm_object_url"), report.alias("report"))
+
+
+def proposed_wikipedia_target(df: DataFrame, report_col: str = "report") -> DataFrame:
+    """`current_wikipedia_target` / `desired_wikipedia_target`
+    (`generate_webpage_with_error_output.py:216-234`): scan the
+    proposed changes for the (at most one) replacement whose to-map
+    touches the `wikipedia` tag. The reference raises ValueError on
+    multiple replacements; here `assert_true` fails the job the same
+    way (tested)."""
+    changes = F.coalesce(
+        F.col(f"{report_col}.proposed_tagging_changes"),
+        F.array().cast(
+            "array<struct<from:map<string,string>,to:map<string,string>>>"
+        ),
+    )
+    wp_changes = F.filter(changes, lambda ch: ch["to"].getItem("wikipedia").isNotNull())
+    guard = F.assert_true(
+        F.size(wp_changes) <= 1,
+        F.lit("multiple incoming replacements of the same tag"),
+    )
+    first = F.get(wp_changes, 0)
+    return df.select(
+        "*",
+        F.when(guard.isNull(), first["from"].getItem("wikipedia")).alias(
+            "current_wikipedia_target"
+        ),
+        F.when(guard.isNull(), first["to"].getItem("wikipedia")).alias(
+            "desired_wikipedia_target"
+        ),
+    )
 
 
 def validate(

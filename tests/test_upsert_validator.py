@@ -75,15 +75,29 @@ def _one_error(spark, tags, area="alpha"):
 CASES = [
     ({"wikipedia": "en:Good"}, None),
     ({"wikipedia": "NoLangPrefix"}, "malformed wikipedia tag"),
+    ({"brand:wikipedia": "NoLangPrefix"}, "malformed secondary wikipedia tag - for brand prefixed tags"),
     ({"wikidata": "banana"}, "malformed wikidata tag"),
+    ({"subject:wikidata": "banana"}, "malformed secondary wikidata tag - for subject prefixed tags"),
+    ({"name:etymology:wikidata": "banana"}, "malformed secondary wikidata tag - for name:etymology prefixed tags"),
+    ({"wikipedia:en": "Good"}, "invalid old-style wikipedia tag"),
     ({"wikipedia": "en:Missing"}, "wikipedia tag links to 404"),
     ({"wikipedia": "en:Gone"}, "wikipedia tag links to 404"),
     ({"wikidata": "Q999999"}, "wikidata tag links to 404"),
+    ({"subject:wikidata": "Q999999"}, "secondary wikidata tag links to 404"),
     ({"wikipedia": "en:Good", "wikidata": "Q3"}, "wikipedia wikidata mismatch"),
+    ({"wikipedia": "en:Redirecting", "wikidata": "Q1"},
+     "wikipedia wikidata mismatch - follow wikipedia redirect"),
+    ({"wikipedia": "en:Good", "wikidata": "Q2"},
+     "wikipedia wikidata mismatch - follow wikidata redirect"),
     ({"wikidata": "Q2"}, "wikidata tag links to a redirect"),
     ({"wikipedia": "en:Redirecting"}, "wikipedia tag links to a redirect"),
     ({"wikipedia": "en:Disambig"}, "wikipedia tag links to a disambiguation page"),
-    ({"wikipedia": "en:Person"}, "should use a secondary wikipedia tag - linking to a human"),
+    ({"wikipedia": "en:Person"},
+     "should use a secondary wikipedia tag - linking from wikipedia tag to a human"),
+    ({"wikidata": "Q4"},
+     "should use a secondary wikipedia tag - linking from wikidata tag to a human"),
+    ({"wikipedia": "en:Person", "wikidata": "Q4"},
+     "should use a secondary wikipedia tag - linking from wikipedia and wikidata tag to a human"),
     ({"wikipedia": "de:Gut"}, "wikipedia tag unexpected language"),
     ({"name": "no wiki tags"}, "FILTERED"),
 ]
@@ -158,3 +172,85 @@ def test_secondary_key_not_flagged_as_human(spark):
     # brand:wikipedia to a human is the CORRECT secondary usage
     got, _ = _one_error(spark, {"brand:wikipedia": "en:Person"})
     assert got is None
+
+
+def test_proposed_change_wikipedia_redirect(spark):
+    # F13: wikipedia-redirect classes carry a full from/to change
+    # (`generate_webpage_with_error_output.py:216-234`)
+    _, out = _one_error(spark, {"wikipedia": "en:Redirecting"})
+    rep = out["report"].iloc[0]
+    ch = rep["proposed_tagging_changes"][0]
+    assert ch["from"] == {"wikipedia": "en:Redirecting"}
+    assert ch["to"] == {"wikipedia": "en:Good"}  # article of redirect target Q1
+
+
+def test_proposed_change_old_style(spark):
+    _, out = _one_error(spark, {"wikipedia:en": "Good"})
+    ch = out["report"].iloc[0]["proposed_tagging_changes"][0]
+    assert ch["from"] == {"wikipedia:en": "Good"}
+    assert ch["to"] == {"wikipedia": "en:Good"}
+
+
+def test_proposed_change_follow_wikidata_redirect(spark):
+    _, out = _one_error(spark, {"wikipedia": "en:Good", "wikidata": "Q2"})
+    ch = out["report"].iloc[0]["proposed_tagging_changes"][0]
+    assert ch["from"] == {"wikidata": "Q2"}
+    assert ch["to"] == {"wikidata": "Q1"}
+
+
+def test_proposed_wikipedia_target_extraction(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    regions, wiki = _mini_world(spark)
+    v = V.validate(_elem(spark, {"wikipedia": "en:Redirecting"}), wiki, regions)
+    out = V.proposed_wikipedia_target(v).toPandas()
+    assert out["current_wikipedia_target"].iloc[0] == "en:Redirecting"
+    assert out["desired_wikipedia_target"].iloc[0] == "en:Good"
+    # rows with no wikipedia-touching change → NULLs, no error
+    v2 = V.validate(_elem(spark, {"wikidata": "Q2"}), wiki, regions)
+    out2 = V.proposed_wikipedia_target(v2).toPandas()
+    assert out2["current_wikipedia_target"].iloc[0] is None
+    # the uniqueness assertion fires on a synthetic multi-change report
+    # (reference raises ValueError, :222-223)
+    broken = v.withColumn(
+        "report",
+        F.col("report").withField(
+            "proposed_tagging_changes",
+            F.concat(
+                F.col("report.proposed_tagging_changes"),
+                F.array(F.struct(
+                    F.create_map(F.lit("wikipedia"), F.lit("x")).alias("from"),
+                    F.create_map(F.lit("wikipedia"), F.lit("y")).alias("to"),
+                )),
+            ),
+        ),
+    )
+    with pytest.raises(Exception, match="multiple|ASSERT"):
+        V.proposed_wikipedia_target(broken).collect()
+
+
+def test_every_emitted_error_is_routed(spark):
+    # note_unused_errors consistency (`generate_webpage…py:265-275`):
+    # the synthetic world must only emit error ids the catalog routes
+    from osm_wikipedia_tag_validator_spark.operators import reports as R
+    from osm_wikipedia_tag_validator_spark.plans import pipeline as P
+
+    inputs = P.build_inputs(spark, 800)
+    v = P.validated_elements(inputs)
+    unused = R.note_unused_errors(v, inputs["error_catalog"]).toPandas()
+    assert len(unused) == 0, unused
+
+
+def test_catalog_covers_cascade_families(spark):
+    # every cascade family (except the config-dependent outside_region)
+    # has at least one catalog row, and priorities agree
+    from osm_wikipedia_tag_validator_spark.datagen.world import gen_error_catalog
+
+    cat = gen_error_catalog()
+    fams = set(cat["rule_family"])
+    for fam in V.RULE_PRIORITIES:
+        assert fam in fams, fam
+    for _, row in cat.iterrows():
+        if row["rule_family"] in V.RULE_PRIORITIES:
+            assert row["priority"] == V.RULE_PRIORITIES[row["rule_family"]]
