@@ -45,7 +45,7 @@ HEADLINE = [
     "fingerprint",            # exact-dedup hash
     "minhash_pairs",          # MinHash LSH near-dup
     "simhash_pairs",          # SimHash near-dup
-    "embedding_topk",         # ANN brute-force baseline
+    "embedding_topk_fast",    # ANN exact top-k, matmul-per-Arrow-batch scale path
     "ann_ivf",                # ANN IVF path
 ]
 

@@ -324,6 +324,30 @@ def gen_wiki_entities(n: int = N_ENTITIES) -> pd.DataFrame:
 _SIZES = [16, 32, 64]
 
 
+def image_id_for(eid: int) -> str:
+    return f"img-{int(eid):09d}"
+
+
+def expected_captions(image_ids: list[str]) -> list[str]:
+    """The reference caption is a pure function of image_id: re-derive
+    the element id, regenerate its tags with the seeded generator, and
+    return the wiki-tag payload — the byte-exact ground truth for
+    `verify_invariants(caption_fn=...)`."""
+    eids = np.array([int(s.split("-")[-1]) for s in image_ids], dtype=np.int64)
+    els = gen_elements_batch(eids).drop_duplicates(subset=["id"], keep="first")
+    tags_by_id = dict(zip(els["id"].to_numpy(), els["tags"]))
+    out = []
+    for eid in eids:
+        tags = tags_by_id[int(eid)]
+        caption = ""
+        for k in WIKI_KEYS:
+            if k in tags:
+                caption = tags[k]
+                break
+        out.append(caption)
+    return out
+
+
 def gen_images_batch(ids: np.ndarray, elements: pd.DataFrame | None = None) -> pd.DataFrame:
     """One image row per element id: deterministic gradient + hash noise,
     PNG (lossless) or fake-JPEG (lossy, PSNR≈48dB), caption = the
@@ -374,7 +398,7 @@ def gen_images_batch(ids: np.ndarray, elements: pd.DataFrame | None = None) -> p
                 break
         rows.append(
             {
-                "image_id": f"img-{int(eid):09d}",
+                "image_id": image_id_for(int(eid)),
                 "bytes": data,
                 "w": w,
                 "h": ht,

@@ -92,7 +92,9 @@ def cosine_topk_fast(
                 continue
             Q = np.vstack(pdf[q_vec].to_numpy()).astype(np.float64)
             Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-            S = Qn @ Mn.T  # (batch, corpus)
+            # round to 6 before ranking so tie-breaks (rounded cosine
+            # desc, id asc) match the native HOF twin and the SQL oracle
+            S = np.round(Qn @ Mn.T, 6)  # (batch, corpus)
             qids = pdf[q_id].to_numpy()
             if exclude_self:
                 for r, qid in enumerate(qids):

@@ -60,31 +60,72 @@ def token_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """All (id1 < id2) pairs with distinct-token Jaccard ≥ threshold.
 
     Inverted-index plan: explode distinct tokens → self-equi-join on
     token → count shared → |A|+|B|-shared. The join key is the token,
-    so hot tokens skew — at scale drop the top-frequency tokens first
-    (df-cut), standard practice; here `max_token_df` bounds it.
+    so hot tokens ("the") make the self-join quadratic in their df —
+    the classic fix is a document-frequency cut on the *candidate
+    generation* side (Vernica et al., SIGMOD'10 set-similarity joins):
+
+    `max_token_df=None` (default) — exact: every token indexes, and the
+    pair's `shared` count comes straight from the join (oracle twin).
+
+    `max_token_df=t` — tokens with df > t are dropped from the inverted
+    index only; candidate pairs must share ≥1 *rare* token, then each
+    candidate is verified exactly against the full token arrays
+    (`array_intersect`), so reported jaccard values are exact. Pairs
+    whose overlap is hot-tokens-only are missed — the documented recall
+    cut that keeps the join linear in df at 100 TB.
     """
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(TX.tokens_col(F.lower(F.col(text_col))))).alias("tok"))
     )
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    shared = (
+    if max_token_df is None:
+        a = toks.alias("a")
+        b = toks.alias("b")
+        shared = (
+            a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        return (
+            shared.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+            .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+            .withColumn(
+                "jaccard",
+                F.round(F.col("shared") / (F.col("sz1") + F.col("sz2") - F.col("shared")), 6),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id1", "id2", "jaccard")
+        )
+
+    # df-cut path: rare-token index for candidates, exact verify after
+    rare = toks.join(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") <= max_token_df),
+        "tok",
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    candidates = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    full = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(TX.tokens_col(F.lower(F.col(text_col)))).alias("toks"),
     )
     return (
-        shared.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
-        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+        candidates.join(full.select(F.col("id").alias("id1"), F.col("toks").alias("t1")), "id1")
+        .join(full.select(F.col("id").alias("id2"), F.col("toks").alias("t2")), "id2")
+        .withColumn("shared", F.size(F.array_intersect("t1", "t2")))
         .withColumn(
             "jaccard",
-            F.round(F.col("shared") / (F.col("sz1") + F.col("sz2") - F.col("shared")), 6),
+            F.round(F.col("shared") / (F.size("t1") + F.size("t2") - F.col("shared")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")

@@ -114,7 +114,8 @@ VERIFY_SCHEMA = "image_id string, fmt string, psnr double, phash_match boolean, 
 
 
 def verify_invariants(images: DataFrame, reference_images: DataFrame | None = None,
-                      min_psnr_db: float = 40.0) -> DataFrame:
+                      min_psnr_db: float = 40.0,
+                      caption_fn=None) -> DataFrame:
     """The per-row invariant of BASELINE.json input_hint: decoded-pixel
     allclose (PSNR ≥ 40 dB for lossy formats; exact for lossless) +
     byte-exact caption equality vs the reference rows.
@@ -122,22 +123,35 @@ def verify_invariants(images: DataFrame, reference_images: DataFrame | None = No
     With reference_images=None the check is self-referential: re-encode
     the decoded pixels with the row's own fmt and verify the round-trip
     PSNR + stored-phash match — the engine-side integrity pass the
-    bench loop samples (SURVEY.md §7.3e)."""
+    bench loop samples (SURVEY.md §7.3e). `caption_fn(image_ids) ->
+    list[str]` recomputes the expected caption from source of truth
+    (e.g. the seeded generator, where caption is a pure function of
+    image_id) so caption_ok is a byte-exact comparison, evaluated
+    batch-side inside the Arrow stage. Without it (and without a
+    reference table) caption integrity cannot be derived from the row
+    alone, so caption_ok only asserts presence."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if caption_fn is not None:
+                expected = caption_fn(pdf["image_id"].tolist())
+            else:
+                expected = [None] * len(pdf)
             rows = []
-            for r in pdf.itertuples(index=False):
+            for r, exp in zip(pdf.itertuples(index=False), expected):
                 img = decode_image(bytes(r.bytes))
                 rt = decode_image(encode_image(img, r.fmt))
                 p = psnr(img, rt)
+                caption_ok = (
+                    r.caption == exp if exp is not None else isinstance(r.caption, str)
+                )
                 rows.append(
                     (
                         r.image_id,
                         r.fmt,
                         float(min(p, 1e9)),
                         ahash64(img) == r.phash,
-                        isinstance(r.caption, str),
+                        bool(caption_ok),
                     )
                 )
             yield pd.DataFrame(

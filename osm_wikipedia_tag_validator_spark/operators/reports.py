@@ -108,13 +108,26 @@ def overpass_query_sink(reports: DataFrame) -> DataFrame:
 
 
 def geojson_task_sink(reports: DataFrame, points: DataFrame,
-                      key_cols: list[str] | None = None) -> DataFrame:
+                      key_cols: list[str] | None = None,
+                      max_tasks_per_error_class: int | None = 1000) -> DataFrame:
     """S11: MapRoulette-style GeoJSON Feature per report
     (`build_geojson_of_tasks_to_add_challenge` + entry builders,
     `maproulette_challenge_creation.py:670-690, 1166-1207`).
     Properties carry error_message + @id; geometry is the element
-    point. Pure to_json(struct(...)) — JVM-side."""
+    point. Pure to_json(struct(...)) — JVM-side.
+
+    `max_tasks_per_error_class` caps each error class's task count like
+    the reference's per-challenge `LIMIT 1000`
+    (`maproulette_challenge_creation.py:1336`); deterministic keep order
+    (osm_object_url asc) via one row_number window per error_id."""
     key_cols = key_cols or ["type", "id"]
+    if max_tasks_per_error_class is not None:
+        w = Window.partitionBy("error_id").orderBy("osm_object_url", *key_cols)
+        reports = (
+            reports.withColumn("_task_rn", F.row_number().over(w))
+            .filter(F.col("_task_rn") <= max_tasks_per_error_class)
+            .drop("_task_rn")
+        )
     pts = points.select(*key_cols, "lon", "lat")
     joined = reports.join(pts, key_cols)
     feature = F.struct(

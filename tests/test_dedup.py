@@ -99,3 +99,26 @@ def test_winnow_fingerprints_shift_invariant():
     fp2 = set(TX.winnow_fingerprints(h2, 8).tolist())
     overlap = len(fp1 & fp2) / len(fp1 | fp2)
     assert overlap > 0.6  # winnowing is robust to prefix shifts
+
+
+def test_token_jaccard_df_cut(spark):
+    # doc 10/11 share rare tokens (near-dups); doc 12/13 overlap ONLY in
+    # the hot token "common" which appears in every doc
+    rows = [
+        (10, "common alpha beta gamma delta"),
+        (11, "common alpha beta gamma epsilon"),
+        (12, "common zeta"),
+        (13, "common eta"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = DD.token_jaccard_pairs(d, threshold=0.3).toPandas()
+    cut = DD.token_jaccard_pairs(d, threshold=0.3, max_token_df=3).toPandas()
+    exact_pairs = {(int(a), int(b)): j for a, b, j in zip(exact.id1, exact.id2, exact.jaccard)}
+    cut_pairs = {(int(a), int(b)): j for a, b, j in zip(cut.id1, cut.id2, cut.jaccard)}
+    # "common" has df=4 > 3 → dropped from the inverted index: the
+    # hot-token-only pair (12,13) is cut while rare-token pairs survive
+    assert (10, 11) in cut_pairs
+    assert (12, 13) in exact_pairs and (12, 13) not in cut_pairs
+    # verify pass is exact: surviving jaccards match the uncut values
+    for k, v in cut_pairs.items():
+        assert v == exact_pairs[k]

@@ -125,3 +125,19 @@ def test_ledger_watermark(tmp_path):
     assert ledger.watermark("dl", "alpha") == 250
     assert ledger.watermark("dl", "beta") == 50
     assert ledger.watermark("dl", "missing") is None
+
+
+def test_geojson_per_class_task_cap(flagship):
+    reps = flagship["validated"].filter(F.col("status") == "error").select(
+        "area_identifier", "error_id", "osm_object_url", "report", "type", "id"
+    )
+    pts = flagship["validated"].select("type", "id", "lon", "lat")
+    capped = R.geojson_task_sink(reps, pts, max_tasks_per_error_class=2).toPandas()
+    per_class = capped.groupby("error_id").size()
+    assert (per_class <= 2).all()
+    # deterministic keep order: lowest osm_object_url per class survive
+    full = R.geojson_task_sink(reps, pts, max_tasks_per_error_class=None).toPandas()
+    for eid, grp in full.groupby("error_id"):
+        want = sorted(grp["osm_object_url"])[:2]
+        got = sorted(capped.loc[capped["error_id"] == eid, "osm_object_url"])
+        assert got == want

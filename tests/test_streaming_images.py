@@ -113,3 +113,19 @@ def test_compare_against_reference(spark, images):
     assert not d.loc["img-000000005", "caption_ok"]
     assert not d.loc["img-000000020", "pixels_ok"]  # missing from reference
     assert d.loc["img-000000030", "caption_ok"] and d.loc["img-000000030", "pixels_ok"]
+
+
+def test_caption_corruption_detected(spark, images):
+    # byte-exact caption invariant: recompute the expected caption from
+    # the seeded generator and flag any mutated row
+    corrupted = images.withColumn(
+        "caption",
+        F.when(F.col("image_id") == "img-000000003", F.concat(F.col("caption"), F.lit("X")))
+        .otherwise(F.col("caption")),
+    )
+    v = IO.verify_invariants(corrupted, caption_fn=W.expected_captions).toPandas()
+    bad = v.loc[~v["caption_ok"], "image_id"].tolist()
+    assert bad == ["img-000000003"]
+    # and the honest pass is all-green
+    ok = IO.verify_invariants(images, caption_fn=W.expected_captions).toPandas()
+    assert ok["caption_ok"].all()
