@@ -81,3 +81,47 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
     finally:
         q.stop()
     return stream_df.sparkSession.table(query_name)
+
+
+def rate_limited_batch(batch_df: DataFrame, quota: int,
+                       order_cols: list[str] | None = None) -> tuple[DataFrame, int]:
+    """T8 edit-rate quota, completed: cap a micro-batch at `quota` rows
+    in deterministic order and report the overflow count.
+
+    The reference throttles actuation with wall-clock sleeps (2 s per
+    edit, 60 s per changeset — `osm_editor_bot_for_approved_tasks.py:
+    393,405-406`; 60 s per download `obtain_from_overpass.py:73-74`).
+    The streaming-native budget is per-trigger: ingest is bounded by
+    maxFilesPerTrigger (`stream_events_from_files`), actuation by this
+    cap inside foreachBatch, and wall-time by a processingTime trigger —
+    together they bound actions/second exactly like the sleeps, without
+    idling executors. Rows beyond the quota are NOT dropped: the
+    overflow count is returned for the caller's ledger, and unconsumed
+    rows stay for the next poll cycle (the reference re-reads pending
+    tasks each loop the same way)."""
+    order_cols = order_cols or batch_df.columns[:1]
+    take = batch_df.orderBy(*order_cols).limit(quota)
+    total = batch_df.count()
+    return take, max(0, total - quota)
+
+
+def rate_limited_sink(stream_df: DataFrame, sink_fn, quota_per_batch: int,
+                      processing_interval: str | None = None,
+                      order_cols: list[str] | None = None,
+                      query_name: str = "rate_limited"):
+    """writeStream wrapper: at most `quota_per_batch` rows reach
+    `sink_fn(df, batch_id)` per trigger; `processing_interval` (e.g.
+    '60 seconds') bounds trigger frequency → rows/sec ≤ quota/interval."""
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        take, overflow = rate_limited_batch(batch_df, quota_per_batch, order_cols)
+        sink_fn(take, batch_id)
+        if overflow:
+            # surfaced in logs/metrics; rows remain in the source for
+            # re-delivery on the next poll (file source re-lists)
+            print(f"rate_limited_sink[{query_name}] batch {batch_id}: "
+                  f"deferred {overflow} rows over quota {quota_per_batch}")
+
+    w = stream_df.writeStream.foreachBatch(_on_batch).queryName(query_name)
+    if processing_interval:
+        w = w.trigger(processingTime=processing_interval)
+    return w

@@ -110,3 +110,52 @@ def test_salted_join_and_count(spark):
     assert (plain.sort_index() == salted.sort_index()).all()
     counted = SJ.salted_count(big, ["k"]).toPandas().set_index("k")["count"]
     assert (counted.sort_index() == plain.sort_index()).all()
+
+
+def test_region_split_budget_and_locality(spark):
+    from pyspark.sql import functions as F
+
+    from osm_wikipedia_tag_validator_spark.operators import region_split as RS
+
+    # one big region (800 rows), one small (30) — only the big one splits
+    pts = spark.range(830).select(
+        F.when(F.col("id") < 800, "big").otherwise("small").alias("area_identifier"),
+        (((F.col("id") * 7919) % 3000) / 100.0).alias("lon"),
+        (((F.col("id") * 104729) % 1500) / 100.0).alias("lat"),
+    )
+    pm = RS.region_part_map(pts, budget=100, res=4)
+    over = RS.oversized_regions(pm).toPandas()
+    assert over["area_identifier"].tolist() == ["big"]
+    # 800 rows / 100 budget → ~8 parts (one fewer when the last cell
+    # overflows its part; exact count depends on the cell histogram)
+    assert int(over["n_parts"].iloc[0]) >= 6
+
+    pmp = pm.toPandas()
+    # parts are contiguous in Z-order: cells sorted by id have
+    # non-decreasing part numbers within a region
+    for _, grp in pmp.groupby("area_identifier"):
+        parts = grp.sort_values("cell")["part"].tolist()
+        assert parts == sorted(parts)
+    # every row lands in exactly one part; totals preserved
+    tagged = RS.assign_parts(pts, pm).toPandas()
+    assert len(tagged) == 830
+    assert tagged["part"].notna().all()
+    # part sizes respect the budget except single-cell overflows
+    sizes = tagged.groupby(["area_identifier", "part"]).size()
+    cell_max = pmp.groupby("area_identifier")["cnt"].max()
+    for (reg, _), sz in sizes.items():
+        assert sz <= 100 + int(cell_max[reg])
+
+
+def test_cosine_topk_fast_has_no_shuffle(spark):
+    from osm_wikipedia_tag_validator_spark.operators import ann as ANN
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.limit(20)
+    df = ANN.cosine_topk_fast(q, e, k=3)
+    plan = _plan(df)
+    # corpus rides the closure as a broadcast numpy matrix; the query
+    # side streams through one Arrow stage — no shuffle, no window sort
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert plan.count("MapInPandas") == 1

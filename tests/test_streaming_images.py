@@ -129,3 +129,15 @@ def test_caption_corruption_detected(spark, images):
     # and the honest pass is all-green
     ok = IO.verify_invariants(images, caption_fn=W.expected_captions).toPandas()
     assert ok["caption_ok"].all()
+
+
+def test_rate_limited_batch_quota(spark):
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    take, overflow = SE.rate_limited_batch(df, quota=3, order_cols=["id"])
+    got = take.toPandas()
+    assert len(got) == 3 and overflow == 7
+    # deterministic keep order: lowest ids
+    assert sorted(got["id"].tolist()) == [0, 1, 2]
+    # under quota → no overflow
+    take2, overflow2 = SE.rate_limited_batch(df, quota=100, order_cols=["id"])
+    assert take2.count() == 10 and overflow2 == 0
