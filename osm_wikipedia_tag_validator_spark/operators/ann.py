@@ -121,10 +121,15 @@ def cosine_topk_fast(
 def kmeans_centroids(
     corpus: DataFrame, n_centroids: int, vec_col: str = "embedding",
     sample: int = 4096, iters: int = 8, seed: int = 7,
+    order_col: str | None = None,
 ) -> np.ndarray:
     """Lloyd's k-means on a driver-side sample (numpy). Centroid count
-    ~ sqrt(corpus) is the usual IVF sizing."""
-    pdf = corpus.select(vec_col).limit(sample).toPandas()
+    ~ sqrt(corpus) is the usual IVF sizing. With `order_col` the sample
+    is the TakeOrdered head (deterministic across runs/partitionings, so
+    the whole IVF output is golden-pinnable); without it, `limit` takes
+    whatever rows arrive first — cheaper, order-dependent."""
+    base = corpus.orderBy(order_col) if order_col else corpus
+    pdf = base.select(vec_col).limit(sample).toPandas()
     X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
@@ -154,7 +159,7 @@ def ivf_topk(
     cross join never materializes. Approximate (recall < 1 when the
     true neighbor lives in an unprobed list)."""
     spark = queries.sparkSession
-    C = kmeans_centroids(corpus, n_centroids, c_vec)
+    C = kmeans_centroids(corpus, n_centroids, c_vec, order_col=c_id)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     def assign_lists(nprobe_n: int, id_name: str, vec_name: str):
