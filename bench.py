@@ -47,6 +47,7 @@ HEADLINE = [
     "simhash_pairs",          # SimHash near-dup
     "embedding_topk_fast",    # ANN exact top-k, matmul-per-Arrow-batch scale path
     "ann_ivf",                # ANN IVF path
+    "audio_features",         # multimodal audio: real WAV decode + DSP features
 ]
 
 FLAGSHIP_ELEMENTS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_N", "60000"))

@@ -206,9 +206,12 @@ def sample_frames(videos: DataFrame, n_frames: int = 4) -> DataFrame:
     return videos.mapInPandas(gen, FRAMES_SCHEMA)
 
 
-def neardup_by_phash(features: DataFrame, max_hamming: int = 6) -> DataFrame:
+def neardup_by_phash(features: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Image near-dup candidate pairs by perceptual-hash Hamming
-    distance, banded 4×16-bit (pigeonhole) like SimHash text dedup."""
+    distance, banded 4×16-bit (pigeonhole) like SimHash text dedup.
+    Exact recall only for max_hamming ≤ 3: ≤ 3 differing bits over 4
+    chunks forces one identical chunk; the previous default of 6 could
+    silently miss pairs whose errors spread across all 4 chunks."""
     from . import dedup as _dd  # reuse the banding plan
     from pyspark.sql import functions as F
 
