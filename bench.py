@@ -126,7 +126,7 @@ def run_scaling_job(spark, n_elements: int, n_images: int) -> dict:
     hits = SJ.point_in_polygon_join(tiled, polygons)
     rollup = hits.groupBy("tile_id", "region").agg(
         F.count(F.lit(1)).alias("n_images"),
-        F.sum(F.when(F.col("fmt") == "jpeg", 1).otherwise(0)).alias("n_lossy"),
+        F.sum(F.when(F.col("fmt") != "png", 1).otherwise(0)).alias("n_lossy"),
     )
     n_tiles = rollup.count()
     wall = time.time() - t0

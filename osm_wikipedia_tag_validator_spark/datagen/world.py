@@ -356,7 +356,10 @@ def gen_images_batch(ids: np.ndarray, elements: pd.DataFrame | None = None) -> p
     h = splitmix64(ids.astype(np.uint64) + np.uint64(SEED * 7 + 5))
     wsel = np.array(_SIZES)[(u01(hash2(h, 1)) * 3).astype(np.int64)]
     hsel = np.array(_SIZES)[(u01(hash2(h, 2)) * 3).astype(np.int64)]
-    fmt = np.where(u01(hash2(h, 3)) < 0.5, "png", "jpeg")
+    # 40% lossless PNG / 30% REAL lossy DCT (dct8, genuine transform-
+    # quantization error) / 30% fake-JPEG (documented libjpeg stand-in)
+    fsel = u01(hash2(h, 3))
+    fmt = np.select([fsel < 0.4, fsel < 0.7], ["png", "dct8"], default="jpeg")
 
     if elements is None:
         elements = gen_elements_batch(ids)
@@ -479,6 +482,52 @@ def spark_images_located(spark, n: int):
     return _id_range(spark, n).mapInPandas(
         lambda it: (gen_images_located_batch(p["id"].to_numpy()) for p in it),
         IMAGES_LOCATED_SCHEMA,
+    )
+
+
+VIDEOS_SCHEMA = (
+    "video_id string, bytes binary, n_frames int, w int, h int, "
+    "fmt string, caption string"
+)
+
+
+def gen_videos_batch(ids: np.ndarray, n_frames: int = 8) -> pd.DataFrame:
+    """One VPNG clip per id: the id's still image animated by a
+    deterministic per-frame roll + brightness ramp, every frame REALLY
+    PNG-encoded into the container (datagen/codecs.py::vpng_encode).
+    Caption derives from the image caption, suffixed with the frame
+    count (pure function of id, recomputable for invariants)."""
+    from .codecs import vpng_encode
+
+    stills = gen_images_batch(ids)
+    rows = []
+    for r, eid in zip(stills.itertuples(index=False), ids.astype(np.int64)):
+        img = decode_image(bytes(r.bytes))
+        frames = []
+        for f in range(n_frames):
+            fr = np.roll(img, shift=(3 * f, 5 * f), axis=(0, 1)).astype(np.int32)
+            frames.append(np.clip(fr + 2 * f, 0, 255).astype(np.uint8))
+        rows.append(
+            (
+                f"vid-{int(eid):09d}",
+                vpng_encode(frames),
+                n_frames,
+                img.shape[1],
+                img.shape[0],
+                "vpng",
+                f"{r.caption} [{n_frames} frames]",
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["video_id", "bytes", "n_frames", "w", "h", "fmt", "caption"],
+    )
+
+
+def spark_videos(spark, n: int, n_frames: int = 8):
+    return _id_range(spark, n).mapInPandas(
+        lambda it: (gen_videos_batch(p["id"].to_numpy(), n_frames) for p in it),
+        VIDEOS_SCHEMA,
     )
 
 

@@ -2,15 +2,19 @@
 verify, all as Arrow-batched mapInPandas stages over the binary column.
 
 The `images.bytes` column is opaque binary + typed metadata (w, h,
-fmt) per the input_hint. Decode uses the in-repo codecs: REAL minimal
-PNG, and a clearly-marked DETERMINISTIC FAKE for JPEG (no libjpeg in
-this container — datagen/codecs.py documents the swap point). The
-Spark-side plumbing — schema, batch shape, partition behavior — is the
-part that matters at 100 TB and is real and tested.
+fmt) per the input_hint. Decode uses the in-repo codecs
+(datagen/codecs.py): REAL minimal PNG (lossless), REAL dct8 (8×8 DCT +
+quantization — genuine transform-coding loss, the honest lossy path
+for the PSNR ≥ 40 dB invariant), and a clearly-marked DETERMINISTIC
+FAKE for JPEG (no libjpeg in this container; documented swap point).
+The Spark-side plumbing — schema, batch shape, partition behavior — is
+the part that matters at 100 TB and is real and tested.
 
-Video frame-sampling is STUBBED at the decode step (no codec) but the
-operator shape (binary → array of frame features) is implemented
-against the fake codec so the plumbing is exercised.
+Video frame-sampling is REAL at the container level: VPNG
+(length-prefixed real-PNG frames, the sandbox stand-in for mp4) is
+genuinely decoded per sampled frame, with skipped frames hopped by
+length — only the H.264-bitstream layer would need a PyAV/ffmpeg
+binding in production.
 """
 
 from __future__ import annotations
@@ -21,7 +25,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..datagen.codecs import decode_image, encode_image, psnr
+from ..datagen.codecs import (
+    LOSSY_FMTS,
+    decode_image,
+    encode_image,
+    psnr,
+    vpng_decode_frames,
+    vpng_n_frames,
+)
 from ..functions.imagefns import ahash64, block_mean_resize, luma, resize_nearest
 
 FEATURES_SCHEMA = (
@@ -98,7 +109,7 @@ def compare_against_reference(
                     rows.append((r.image_id, r.fmt, 0.0, False, r.caption == r.ref_caption))
                     continue
                 p = psnr(a, b)
-                lossy = (r.fmt == "jpeg") or (r.ref_fmt == "jpeg")
+                lossy = (r.fmt in LOSSY_FMTS) or (r.ref_fmt in LOSSY_FMTS)
                 ok = (p >= min_psnr_db) if lossy else (p == float("inf"))
                 rows.append(
                     (r.image_id, r.fmt, float(min(p, 1e9)), bool(ok), r.caption == r.ref_caption)
@@ -180,28 +191,36 @@ def make_thumbnails(images: DataFrame, size: int = 8) -> DataFrame:
     return images.mapInPandas(gen, THUMB_SCHEMA)
 
 
-FRAMES_SCHEMA = "image_id string, frame_idx int, frame_phash long"
+FRAMES_SCHEMA = (
+    "video_id string, frame_idx int, frame_phash long, mean_luma double"
+)
 
 
-def sample_frames(videos: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Video frame-sampling operator SHAPE: binary → n frame rows with
-    per-frame features. The real video decode is STUBBED (no codec in
-    this container): frames are synthesized deterministically from the
-    still image by shifting rows — swap the `_decode_frame` closure for
-    a PyAV/ffmpeg binding in production; schema, batching and the
-    explode shape stay identical."""
-
-    def _decode_frame(img: np.ndarray, idx: int) -> np.ndarray:
-        return np.roll(img, shift=idx, axis=0)  # deterministic fake frames
+def sample_frames(videos: DataFrame, stride: int = 2) -> DataFrame:
+    """Video frame-sampling — REAL decode: the `bytes` column holds a
+    VPNG container (length-prefixed real-PNG frames, the sandbox
+    stand-in for mp4 — datagen/codecs.py). Every stride-th frame is
+    genuinely decoded and featurized (aHash + mean luma); skipped
+    frames are hopped over BY LENGTH without decoding, which is what
+    makes stride-sampling cheap — the same property seeking in an mp4
+    gives you. One row per sampled frame, exploded batch-side, so an
+    hour-long clip fans out inside its own Arrow batch. Swap the VPNG
+    parser for a PyAV/ffmpeg binding in production; schema, batching
+    and the explode shape stay identical."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                img = decode_image(bytes(r.bytes))
-                for i in range(n_frames):
-                    rows.append((r.image_id, i, ahash64(_decode_frame(img, i))))
-            yield pd.DataFrame(rows, columns=["image_id", "frame_idx", "frame_phash"])
+                data = bytes(r.bytes)
+                idx = list(range(0, vpng_n_frames(data), max(stride, 1)))
+                for i, frame in zip(idx, vpng_decode_frames(data, idx)):
+                    rows.append(
+                        (r.video_id, i, ahash64(frame), float(luma(frame).mean()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_idx", "frame_phash", "mean_luma"]
+            )
 
     return videos.mapInPandas(gen, FRAMES_SCHEMA)
 

@@ -26,6 +26,59 @@ def test_fake_jpeg_lossy_but_above_psnr_bar():
     assert codecs.psnr(img, dec) >= 40.0  # input_hint invariant
 
 
+def test_dct8_real_lossy_codec():
+    # smooth content (gradient + mild noise) — the datagen image family
+    gy, gx = np.mgrid[0:37, 0:53]
+    rng = np.random.default_rng(3)
+    img = (
+        ((gy * 3 + gx * 2)[:, :, None] + rng.integers(0, 20, (37, 53, 3))) % 256
+    ).astype(np.uint8)
+    enc = codecs.dct8_encode(img)  # default quality
+    dec = codecs.dct8_decode(enc)
+    assert dec.shape == img.shape
+    assert not (dec == img).all()  # genuinely lossy
+    assert codecs.psnr(img, dec) >= 40.0  # input_hint invariant at default q
+    # quality is a REAL rate-distortion knob: lower q → lower PSNR and
+    # smaller payload (fake quantizers can't show this tradeoff)
+    p95, p50 = (
+        codecs.psnr(img, codecs.dct8_decode(codecs.dct8_encode(img, q)))
+        for q in (95, 50)
+    )
+    assert p95 > p50
+    assert len(codecs.dct8_encode(img, 50)) < len(codecs.dct8_encode(img, 95))
+    with pytest.raises(ValueError):
+        codecs.dct8_decode(b"nope")
+
+
+def test_dct8_odd_sizes_pad_and_crop():
+    for h, w in ((1, 1), (7, 9), (8, 8), (17, 24)):
+        img = np.full((h, w, 3), 123, dtype=np.uint8)
+        dec = codecs.dct8_decode(codecs.dct8_encode(img))
+        assert dec.shape == (h, w, 3)
+        assert codecs.psnr(img, dec) >= 40.0
+
+
+def test_vpng_container_roundtrip_and_selective_decode():
+    rng = np.random.default_rng(9)
+    frames = [
+        rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    data = codecs.vpng_encode(frames)
+    assert codecs.vpng_n_frames(data) == 5
+    # full decode lossless
+    for a, b in zip(codecs.vpng_decode_frames(data), frames):
+        assert (a == b).all()
+    # selective decode returns exactly the requested frames, in order
+    got = codecs.vpng_decode_frames(data, [3, 0])
+    assert (got[0] == frames[0]).all() and (got[1] == frames[3]).all()
+    with pytest.raises(IndexError):
+        codecs.vpng_decode_frames(data, [5])
+    with pytest.raises(ValueError):
+        codecs.vpng_n_frames(b"xxxx")
+    with pytest.raises(ValueError):
+        codecs.vpng_encode([])
+
+
 def test_psnr_identical_is_inf():
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     assert codecs.psnr(img, img) == float("inf")

@@ -27,7 +27,10 @@ def test_verify_invariants(images):
     assert v["caption_ok"].all()
     # lossless round trip: psnr inf (clipped to 1e9); lossy ≥ 40
     assert (v.loc[v["fmt"] == "png", "psnr"] >= 1e8).all()
-    assert (v.loc[v["fmt"] == "jpeg", "psnr"] >= 40).all()
+    assert (v.loc[v["fmt"] != "png", "psnr"] >= 40).all()
+    # the REAL lossy codec produces genuine finite reconstruction error
+    dct = v.loc[v["fmt"] == "dct8", "psnr"]
+    assert len(dct) > 0 and (dct < 1e8).all()
 
 
 def test_thumbnails_decode(images):
@@ -39,13 +42,27 @@ def test_thumbnails_decode(images):
     assert img.shape == (8, 8, 3)
 
 
-def test_frame_sampling_stub(images):
-    fr = IO.sample_frames(images.limit(10), n_frames=3).toPandas()
-    assert len(fr) == 30
-    assert set(fr["frame_idx"]) == {0, 1, 2}
-    # frames differ (shifted) for non-degenerate images
-    per = fr.groupby("image_id")["frame_phash"].nunique()
-    assert (per >= 1).all()
+def test_frame_sampling_real_decode(spark):
+    from osm_wikipedia_tag_validator_spark.datagen.codecs import (
+        decode_image,
+        vpng_decode_frames,
+    )
+    from osm_wikipedia_tag_validator_spark.functions.imagefns import ahash64, luma
+
+    videos = W.spark_videos(spark, 10, n_frames=8).cache()
+    fr = IO.sample_frames(videos, stride=2).toPandas()
+    assert len(fr) == 40  # 10 clips × frames {0,2,4,6}
+    assert set(fr["frame_idx"]) == {0, 2, 4, 6}
+    # features must equal a direct decode of the same container frames
+    raw = {r["video_id"]: bytes(r["bytes"]) for r in videos.collect()}
+    one = fr[fr.video_id == sorted(raw)[0]].sort_values("frame_idx")
+    frames = vpng_decode_frames(raw[sorted(raw)[0]], [0, 2, 4, 6])
+    for (_, row), frame in zip(one.iterrows(), frames):
+        assert row["frame_phash"] == ahash64(frame)
+        assert row["mean_luma"] == pytest.approx(float(luma(frame).mean()))
+    # brightness ramp ⇒ later frames are brighter (real decode, not a
+    # synthesized shift of the still)
+    assert (one["mean_luma"].diff().dropna() > 0).all()
 
 
 def test_phash_neardup_pairs(spark, images):
