@@ -110,6 +110,31 @@ def read_table(
     return spark.read.parquet(os.path.join(path, "data", sid))
 
 
+def with_cell_partition(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int = 7,
+    parent_res: int = 2,
+    col: str = "cell_p",
+) -> DataFrame:
+    """Iceberg hidden-partitioning stand-in: derive the partition value
+    — the COARSE parent of the fine grid cell — from the row itself,
+    the way an Iceberg partition transform (`truncate(cell, …)`) would.
+    Write with `write_table(..., partition_by=[col])`; a reader filter
+    on `col` then prunes whole partition directories at planning time
+    (FileSourceStrategy PartitionFilters — evidence in
+    tests/test_tables.py::test_cell_prefix_partition_pruning). At
+    10^12-image scale this is the scan-avoidance layer: a region query
+    touches only its coarse cells' files, never the global table."""
+    from pyspark.sql import functions as F
+
+    from ..functions import cells as C
+
+    fine = C.cell_col(F.col(lon_col), F.col(lat_col), res)
+    return df.withColumn(col, C.parent_cell_col(fine, res, parent_res))
+
+
 def read_incremental(
     spark: SparkSession,
     path: str,
