@@ -39,7 +39,8 @@ HEADLINE = [
     "bbox_join",              # spatial range join
     "pip_convex",             # cell-cover + ray-cast PIP
     "knn",                    # kNN brute-force physical op
-    "knn_kring",              # kNN via cell index
+    "knn_kring",              # kNN adaptive planner (delegates: small entity side)
+    "knn_kring_index",        # kNN genuine k-ring index path (forced)
     "token_count",            # text natives
     "quality_score",          # text quality
     "fingerprint",            # exact-dedup hash
@@ -361,6 +362,26 @@ mitigation — it splits the oversized shuffle blocks at runtime; the
 explicit salting helpers (`operators/spatial_join.py::salted_*`)
 remain for skew that materializes inside UDF stages where AQE can't
 observe it.
+
+## kNN regime crossover (why the adaptive planner delegates)
+
+`knn_kring`'s cost rule picks the physical strategy by entity-side
+size. Both regimes measured on local[32], synthetic key-derived
+points, measured 2026-08-16:
+
+| regime | plan | wall (s) |
+|---|---|---|
+| 15k queries × 1k entities | map-side broadcast brute force (chosen) | 1.41 |
+| 15k queries × 1k entities | k-ring index, forced | 16.27 |
+| 5k queries × 300k entities | k-ring cell equi-join (chosen) | 10.59 |
+| 5k queries × 300k entities | cross-join + window re-rank | 266.27 |
+
+Small entity side: the broadcast matrix wins 11× (one vectorized
+pass, zero shuffle, no escalation rounds). Both sides big — the 100 TB
+regime — the k-ring index wins 25× over the only exact alternative
+(the 1.5G-pair cross join). The driver-gate oracle checks BOTH paths
+(`knn_kring` adaptive, `knn_kring_index` forced) against the same
+cross-join SQL, so the delegation can never silently change results.
 
 Generated by `python bench.py --scaling`.
 """
