@@ -92,3 +92,49 @@ class Engine:
         if approximate:
             return _ann.ivf_topk(queries, corpus, k, **kw)
         return _ann.cosine_topk_fast(queries, corpus, k, **kw)
+
+    # --- multimodal columns (image / audio / video over binary bytes) ---
+    def image_features(self, images, **kw) -> DataFrame:
+        from .operators import images_ops as _img
+
+        return _img.extract_features(images, **kw)
+
+    def image_invariants(self, images, **kw) -> DataFrame:
+        from .operators import images_ops as _img
+
+        return _img.verify_invariants(images, **kw)
+
+    def image_neardup(self, features, **kw) -> DataFrame:
+        from .operators import images_ops as _img
+
+        return _img.neardup_by_phash(features, **kw)
+
+    def thumbnails(self, images, **kw) -> DataFrame:
+        from .operators import images_ops as _img
+
+        return _img.make_thumbnails(images, **kw)
+
+    def sample_frames(self, videos, **kw) -> DataFrame:
+        from .operators import images_ops as _img
+
+        return _img.sample_frames(videos, **kw)
+
+    def audio_features(self, audio, **kw) -> DataFrame:
+        from .operators import audio_ops as _aud
+
+        return _aud.extract_features(audio, **kw)
+
+    def audio_invariants(self, audio, **kw) -> DataFrame:
+        from .operators import audio_ops as _aud
+
+        return _aud.verify_invariants(audio, **kw)
+
+    def audio_neardup(self, audio, **kw) -> DataFrame:
+        from .operators import audio_ops as _aud
+
+        return _aud.neardup_by_fingerprint(audio, **kw)
+
+    def resample_audio(self, audio, target_sr: int, **kw) -> DataFrame:
+        from .operators import audio_ops as _aud
+
+        return _aud.resample_audio(audio, target_sr, **kw)

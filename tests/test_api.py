@@ -23,3 +23,25 @@ def test_engine_facade_end_to_end(spark):
     assert hits.count() > 0
     tiled = eng.assign_tiles(latest.select("id", "lon", "lat"), z=6)
     assert "tile_id" in tiled.columns
+
+
+def test_engine_multimodal_surface(spark):
+    from osm_wikipedia_tag_validator_spark.datagen import audio as A
+
+    eng = Engine(spark)
+    images = W.spark_images(spark, 30)
+    feats = eng.image_features(images)
+    assert feats.count() == 30
+    assert eng.image_neardup(feats).columns == ["id1", "id2", "hamming"]
+    assert eng.thumbnails(images, size=8).count() == 30
+
+    videos = W.spark_videos(spark, 5, n_frames=4)
+    fr = eng.sample_frames(videos, stride=2)
+    assert fr.count() == 10  # 5 clips × frames {0, 2}
+
+    audio = A.spark_audio(spark, 20)
+    af = eng.audio_features(audio)
+    assert af.count() == 20
+    inv = eng.audio_invariants(audio, caption_fn=A.expected_audio_captions)
+    assert inv.filter(~inv.samples_exact | ~inv.caption_ok).count() == 0
+    assert eng.resample_audio(audio, 8000).count() == 20
