@@ -56,7 +56,10 @@ def main() -> None:
         (
             "Point-in-polygon spatial join (J5, native strategy)",
             "Broadcast cell-cover hash join; the exact ray-cast is PART OF THE JOIN CONDITION "
-            "(the edge array is never copied into output rows); fact side unshuffled.",
+            "(the edge array is never copied into output rows); fact side unshuffled. "
+            "The `/` inside the crossing lambda is `F.try_divide` — Spark prints "
+            "Divide(evalMode=TRY) as plain `/`, so horizontal edges (y1==y0) yield NULL, "
+            "not a DIVIDE_BY_ZERO under ANSI mode.",
             cap(SJ.point_in_polygon_join(pts, W.spark_polygons(spark))),
         ),
         (
