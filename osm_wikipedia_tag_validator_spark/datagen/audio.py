@@ -147,7 +147,11 @@ def synth_samples(aid: int) -> np.ndarray:
     n, ch = int(p["n"][0]), int(p["ch"][0])
     t = np.arange(n, dtype=np.float64) / SR
     x = a1 * np.sin(2 * np.pi * f1 * t) + a2 * np.sin(2 * np.pi * f2 * t)
-    x = x / 1.2  # headroom: a1+a2 ≤ 1.10 < 1.2, no clipping
+    # headroom: max |x| = a1+perturb+a2 ≤ 0.79+0.01+0.39 = 1.19 < 1.2,
+    # so the int16 quantization below never clips (clipping would break
+    # the exact decode==synth invariant). Widening any amplitude range
+    # in _params must keep this sum under 1.2.
+    x = x / 1.2
     mono = np.round(x * 32767.0).astype(np.int16)
     if ch == 1:
         return mono[:, None]

@@ -348,10 +348,14 @@ def expected_captions(image_ids: list[str]) -> list[str]:
     return out
 
 
-def gen_images_batch(ids: np.ndarray, elements: pd.DataFrame | None = None) -> pd.DataFrame:
-    """One image row per element id: deterministic gradient + hash noise,
-    PNG (lossless) or fake-JPEG (lossy, PSNR≈48dB), caption = the
-    element's wiki tag payload, phash = aHash of the DECODED pixels."""
+def gen_image_pixel_rows(
+    ids: np.ndarray, elements: pd.DataFrame | None = None
+) -> list[tuple[int, np.ndarray, str, str]]:
+    """The PIXEL layer of the image source: per id → (id, uint8 pixel
+    array, caption, fmt). Shared by gen_images_batch (which encodes the
+    pixels into bytes) and gen_videos_batch (which animates them into
+    frames directly — no wasted encode/decode round-trip through a
+    lossy still format the video never stores)."""
     ids = np.asarray(ids, dtype=np.int64)
     h = splitmix64(ids.astype(np.uint64) + np.uint64(SEED * 7 + 5))
     wsel = np.array(_SIZES)[(u01(hash2(h, 1)) * 3).astype(np.int64)]
@@ -378,7 +382,7 @@ def gen_images_batch(ids: np.ndarray, elements: pd.DataFrame | None = None) -> p
             base_cache[key] = (gy * 255 / max(ht - 1, 1) + gx * 255 / max(w - 1, 1)) / 2
         return base_cache[key]
 
-    rows = []
+    out = []
     for i, eid in enumerate(ids):
         w, ht = int(wsel[i]), int(hsel[i])
         hh = int(h[i])
@@ -391,21 +395,31 @@ def gen_images_batch(ids: np.ndarray, elements: pd.DataFrame | None = None) -> p
             ],
             axis=-1,
         ).astype(np.uint8)
-        data = encode_image(img, str(fmt[i]))
-        decoded = decode_image(data)
         tags = tags_by_id[int(eid)]
         caption = ""
         for k in WIKI_KEYS:
             if k in tags:
                 caption = tags[k]
                 break
+        out.append((int(eid), img, caption, str(fmt[i])))
+    return out
+
+
+def gen_images_batch(ids: np.ndarray, elements: pd.DataFrame | None = None) -> pd.DataFrame:
+    """One image row per element id: deterministic gradient + hash noise,
+    PNG (lossless), dct8 (real lossy) or fake-JPEG, caption = the
+    element's wiki tag payload, phash = aHash of the DECODED pixels."""
+    rows = []
+    for eid, img, caption, fmt in gen_image_pixel_rows(ids, elements):
+        data = encode_image(img, fmt)
+        decoded = decode_image(data)
         rows.append(
             {
-                "image_id": image_id_for(int(eid)),
+                "image_id": image_id_for(eid),
                 "bytes": data,
-                "w": w,
-                "h": ht,
-                "fmt": str(fmt[i]),
+                "w": img.shape[1],
+                "h": img.shape[0],
+                "fmt": fmt,
                 "caption": caption,
                 "phash": ahash64(decoded),
             }
@@ -492,30 +506,30 @@ VIDEOS_SCHEMA = (
 
 
 def gen_videos_batch(ids: np.ndarray, n_frames: int = 8) -> pd.DataFrame:
-    """One VPNG clip per id: the id's still image animated by a
-    deterministic per-frame roll + brightness ramp, every frame REALLY
-    PNG-encoded into the container (datagen/codecs.py::vpng_encode).
-    Caption derives from the image caption, suffixed with the frame
-    count (pure function of id, recomputable for invariants)."""
+    """One VPNG clip per id: the id's pixel array (taken straight from
+    the pixel layer — no encode/decode round-trip through a lossy still
+    format the video never stores) animated by a deterministic
+    per-frame roll + brightness ramp, every frame REALLY PNG-encoded
+    into the container (datagen/codecs.py::vpng_encode). Caption
+    derives from the image caption, suffixed with the frame count
+    (pure function of id, recomputable for invariants)."""
     from .codecs import vpng_encode
 
-    stills = gen_images_batch(ids)
     rows = []
-    for r, eid in zip(stills.itertuples(index=False), ids.astype(np.int64)):
-        img = decode_image(bytes(r.bytes))
+    for eid, img, caption, _fmt in gen_image_pixel_rows(np.asarray(ids)):
         frames = []
         for f in range(n_frames):
             fr = np.roll(img, shift=(3 * f, 5 * f), axis=(0, 1)).astype(np.int32)
             frames.append(np.clip(fr + 2 * f, 0, 255).astype(np.uint8))
         rows.append(
             (
-                f"vid-{int(eid):09d}",
+                f"vid-{eid:09d}",
                 vpng_encode(frames),
                 n_frames,
                 img.shape[1],
                 img.shape[0],
                 "vpng",
-                f"{r.caption} [{n_frames} frames]",
+                f"{caption} [{n_frames} frames]",
             )
         )
     return pd.DataFrame(

@@ -141,47 +141,14 @@ def segment_features(audio: DataFrame, win_s: float = 0.05,
 
 
 def neardup_by_fingerprint(audio: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Audio near-dup pairs by fingerprint Hamming distance, candidates
-    banded 4×16-bit — same scale plan as SimHash/phash: chunk
-    equi-join, no all-pairs cross join. Output (id1, id2, hamming),
-    id1 < id2.
+    """Audio near-dup pairs by spectral-fingerprint Hamming distance —
+    delegates to the shared banded plan (`dedup.banded_hamming_pairs`:
+    band equi-join candidates, never an all-pairs cross join; exact
+    recall only for max_hamming ≤ n_bands-1, enforced there). Output
+    (id1, id2, hamming), id1 < id2."""
+    from .dedup import banded_hamming_pairs
 
-    EXACT recall only for max_hamming ≤ 3 (pigeonhole: ≤ 3 differing
-    bits over 4 chunks ⇒ at least one chunk identical). A larger
-    threshold still verifies correctly but candidates with all 4
-    chunks touched are missed — raise the band count, not the
-    threshold, if looser matches are needed."""
-    chunks = audio.select(
-        F.col("audio_id").alias("id"),
-        F.col("afp").alias("fp"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright("afp", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select("id", "fp", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id1", "id2"])
-    )
+    return banded_hamming_pairs(audio, "audio_id", "afp", max_hamming)
 
 
 VERIFY_SCHEMA = (

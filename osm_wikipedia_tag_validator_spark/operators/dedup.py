@@ -234,33 +234,57 @@ def simhash_signatures(
     return df.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
-def simhash_pairs(
-    df: DataFrame,
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
     max_hamming: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, candidates by
-    pigeonhole over 4×16-bit chunks (≤3 differing bits → at least one
-    identical chunk). Verification = JVM-side bit ops."""
-    sigs = simhash_signatures(df, text_col, id_col).cache()
+    """(id1, id2, hamming) pairs with Hamming(sig) ≤ max_hamming over a
+    64-bit signature column — THE shared banding plan behind SimHash
+    text dedup, image phash near-dup and audio fingerprint near-dup
+    (one implementation, three callers, so the pigeonhole caveat can't
+    drift between copies).
+
+    Candidates come from a band equi-join (never an all-pairs cross
+    join): the signature splits into n_bands chunks; a pair with
+    ≤ n_bands-1 differing bits must agree on at least one chunk
+    (pigeonhole), so EXACT recall requires max_hamming ≤ n_bands - 1.
+    n_bands=None (default) picks the smallest power-of-two band count
+    that keeps the guarantee — a looser threshold costs more bands
+    (shorter chunks → fatter candidate buckets), it never silently
+    drops recall. Verification is JVM-side bit_count on the joined
+    signatures. Scales as Σ bucket² per band, not n²."""
+    if n_bands is None:
+        n_bands = 4
+        while n_bands - 1 < max_hamming and n_bands < 64:
+            n_bands *= 2
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole guarantee "
+            f"for {n_bands} bands (exact only ≤ {n_bands - 1}); raise "
+            "n_bands instead of the threshold"
+        )
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
     chunks = sigs.select(
         F.col(id_col).alias("id"),
-        "simhash",
+        F.col(sig_col).alias("sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(sig_col, i * band_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("ck"),
                     )
-                    for i in range(4)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("c"),
-    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+    ).select("id", "sig", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -272,19 +296,29 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            F.col("a.simhash").alias("s1"),
-            F.col("b.simhash").alias("s2"),
+            F.col("a.sig").alias("s1"),
+            F.col("b.sig").alias("s2"),
         )
         .dropDuplicates(["id1", "id2"])
     )
-    x = F.col("s1").bitwiseXOR(F.col("s2"))
-    # SWAR popcount in Spark expressions (same constants as imagefns)
-    ham = F.expr(
-        "bit_count(s1 ^ s2)"
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(s1 ^ s2)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
     )
-    return cand.withColumn("hamming", ham).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id1", "id2", "hamming")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, candidates by
+    pigeonhole over 4×16-bit chunks (≤3 differing bits → at least one
+    identical chunk). Verification = JVM-side bit ops."""
+    sigs = simhash_signatures(df, text_col, id_col).cache()
+    return banded_hamming_pairs(sigs, id_col, "simhash", max_hamming)
 
 
 # --------------------------------------------------------------------------

@@ -227,53 +227,9 @@ def sample_frames(videos: DataFrame, stride: int = 2) -> DataFrame:
 
 def neardup_by_phash(features: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Image near-dup candidate pairs by perceptual-hash Hamming
-    distance, banded 4×16-bit (pigeonhole) like SimHash text dedup.
-    Exact recall only for max_hamming ≤ 3: ≤ 3 differing bits over 4
-    chunks forces one identical chunk; the previous default of 6 could
-    silently miss pairs whose errors spread across all 4 chunks."""
-    from . import dedup as _dd  # reuse the banding plan
-    from pyspark.sql import functions as F
+    distance — delegates to the shared banded plan
+    (`dedup.banded_hamming_pairs`; exact recall only for
+    max_hamming ≤ n_bands-1, enforced there)."""
+    from .dedup import banded_hamming_pairs
 
-    sigs = features.select(
-        F.monotonically_increasing_id().alias("doc_id"),
-        F.col("image_id"),
-        F.col("phash").alias("simhash"),
-    )
-    chunks = sigs.select(
-        F.col("image_id").alias("id"),
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("ck"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.simhash").alias("s1"),
-            F.col("b.simhash").alias("s2"),
-        )
-        .dropDuplicates(["id1", "id2"])
-    )
-    return (
-        cand.withColumn("hamming", F.expr("bit_count(s1 ^ s2)"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id1", "id2", "hamming")
-    )
+    return banded_hamming_pairs(features, "image_id", "phash", max_hamming)

@@ -25,9 +25,12 @@ def test_verify_invariants(images):
     v = IO.verify_invariants(images).toPandas()
     assert v["phash_match"].all()
     assert v["caption_ok"].all()
+    from osm_wikipedia_tag_validator_spark.datagen.codecs import LOSSY_FMTS
+
     # lossless round trip: psnr inf (clipped to 1e9); lossy ≥ 40
-    assert (v.loc[v["fmt"] == "png", "psnr"] >= 1e8).all()
-    assert (v.loc[v["fmt"] != "png", "psnr"] >= 40).all()
+    lossy = v["fmt"].isin(LOSSY_FMTS)
+    assert (v.loc[~lossy, "psnr"] >= 1e8).all()
+    assert (v.loc[lossy, "psnr"] >= 40).all()
     # the REAL lossy codec produces genuine finite reconstruction error
     dct = v.loc[v["fmt"] == "dct8", "psnr"]
     assert len(dct) > 0 and (dct < 1e8).all()
