@@ -83,6 +83,28 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
     return stream_df.sparkSession.table(query_name)
 
 
+def stream_image_features(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming MULTIMODAL ingest: file-source micro-batches of image
+    rows (opaque `bytes` binary column + typed metadata) → Arrow-batched
+    decode + feature extraction via the SAME mapInPandas operator the
+    batch path uses (`images_ops.extract_features`) — one operator
+    implementation serves both execution modes, which is the Structured
+    Streaming contract (same DataFrame plan, incremental execution).
+    On a cluster the source is Kafka/Iceberg-CDC of image pointers or
+    payloads; maxFilesPerTrigger is the ingest throttle (T8)."""
+    from ..datagen.world import IMAGES_SCHEMA
+    from ..operators.images_ops import extract_features
+
+    stream = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return extract_features(stream)
+
+
 def rate_limited_batch(batch_df: DataFrame, quota: int,
                        order_cols: list[str] | None = None) -> tuple[DataFrame, int]:
     """T8 edit-rate quota, completed: cap a micro-batch at `quota` rows

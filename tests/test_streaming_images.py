@@ -161,3 +161,31 @@ def test_rate_limited_batch_quota(spark):
     # under quota → no overflow
     take2, overflow2 = SE.rate_limited_batch(df, quota=100, order_cols=["id"])
     assert take2.count() == 10 and overflow2 == 0
+
+
+def test_streaming_image_feature_ingest(spark, tmp_path):
+    """Streaming multimodal ingest: the binary image column decodes
+    inside micro-batches through the SAME mapInPandas operator as the
+    batch path — streamed features must equal the batch answer row for
+    row."""
+    images = W.spark_images(spark, 45)
+    src = str(tmp_path / "img_stream_src")
+    images.withColumn("b", F.crc32(F.col("image_id")) % 3).repartition(
+        "b"
+    ).drop("b").write.parquet(src)
+
+    streamed = SE.run_stream_to_memory(
+        SE.stream_image_features(spark, src, max_files_per_trigger=1),
+        "img_feats",
+        output_mode="append",
+    ).toPandas().sort_values("image_id").reset_index(drop=True)
+    batch = (
+        IO.extract_features(spark.read.parquet(src))
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert len(streamed) == 45
+    assert (streamed["image_id"] == batch["image_id"]).all()
+    assert (streamed["decoded_phash"] == batch["decoded_phash"]).all()
+    assert (streamed["mean_luma"] == batch["mean_luma"]).all()
