@@ -63,22 +63,30 @@ def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
     writers that insert LIST/INFO chunks still parse."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
-    pos, ch, sr, bits, data = 12, None, None, None, None
-    while pos + 8 <= len(b):
-        cid = b[pos : pos + 4]
-        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
-        body = b[pos + 8 : pos + 8 + size]
-        if cid == b"fmt ":
-            fmt_code, ch, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
-            if fmt_code != 1 or bits != 16:
-                raise ValueError(f"unsupported WAV: fmt={fmt_code} bits={bits}")
-        elif cid == b"data":
-            data = body
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if sr is None or data is None:
-        raise ValueError("missing fmt/data chunk")
-    arr = np.frombuffer(data, dtype="<i2")
-    return sr, arr.reshape(-1, ch)
+    # structural corruption (damaged chunk headers, truncated fmt/data)
+    # → ValueError, same contract as the image codecs: verify operators
+    # flag the row instead of crashing the task
+    try:
+        pos, ch, sr, bits, data = 12, None, None, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body = b[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt_code, ch, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+                if fmt_code != 1 or bits != 16:
+                    raise ValueError(f"unsupported WAV: fmt={fmt_code} bits={bits}")
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if sr is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        arr = np.frombuffer(data, dtype="<i2")
+        return sr, arr.reshape(-1, ch)
+    except ValueError:
+        raise
+    except (struct.error, TypeError) as e:
+        raise ValueError(f"corrupt WAV: {e}") from e
 
 
 # ---------------------------------------------------------------------------

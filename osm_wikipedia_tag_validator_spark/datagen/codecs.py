@@ -62,24 +62,32 @@ def png_encode(img: np.ndarray) -> bytes:
 def png_decode(data: bytes) -> np.ndarray:
     if not data.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
-    pos = len(_PNG_SIG)
-    w = h = None
-    idat = b""
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
-            if depth != 8 or ctype != 2:
-                raise ValueError("decoder supports 8-bit RGB only")
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    rows = raw.reshape(h, 1 + w * 3)
+    # corrupt input → ValueError is the module-wide contract (verify
+    # operators flag the row instead of dying); zlib/struct/reshape all
+    # raise their own types on damage, so normalize here
+    try:
+        pos = len(_PNG_SIG)
+        w = h = None
+        idat = b""
+        while pos < len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            payload = data[pos + 8 : pos + 8 + length]
+            if tag == b"IHDR":
+                w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+                if depth != 8 or ctype != 2:
+                    raise ValueError("decoder supports 8-bit RGB only")
+            elif tag == b"IDAT":
+                idat += payload
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+        rows = raw.reshape(h, 1 + w * 3)
+    except ValueError:
+        raise
+    except (struct.error, zlib.error, TypeError) as e:
+        raise ValueError(f"corrupt PNG: {e}") from e
     filters = rows[:, 0]
     if not (filters == 0).all():
         raise ValueError("decoder supports filter 0 only")
@@ -174,9 +182,18 @@ def dct8_encode(img: np.ndarray, quality: int = 95) -> bytes:
 def dct8_decode(data: bytes) -> np.ndarray:
     if not data.startswith(_DCT8_MAGIC):
         raise ValueError("not a dct8 stream")
-    quality, h, w, _rsv = struct.unpack(">BIIH", data[4:15])
-    hp, wp = h + ((-h) % 8), w + ((-w) % 8)
-    quant = np.frombuffer(zlib.decompress(data[15:]), dtype=np.int16).reshape(-1, 8, 8)
+    # same contract as png_decode: corruption → ValueError, never
+    # zlib.error / struct.error leaking out of the codec
+    try:
+        quality, h, w, _rsv = struct.unpack(">BIIH", data[4:15])
+        hp, wp = h + ((-h) % 8), w + ((-w) % 8)
+        quant = (
+            np.frombuffer(zlib.decompress(data[15:]), dtype=np.int16).reshape(-1, 8, 8)
+        )
+    except ValueError:
+        raise
+    except (struct.error, zlib.error, TypeError) as e:
+        raise ValueError(f"corrupt dct8 stream: {e}") from e
     coef = quant.astype(np.float64) * _quant_table(quality)
     blocks = _D.T @ coef @ _D  # inverse DCT = transpose (orthonormal)
     x = (

@@ -37,6 +37,7 @@ def cosine_topk_native(
     q_vec: str = "embedding",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbors, broadcast nested loop, JVM expressions."""
     q = queries.select(F.col(q_id).alias("qid"), _as_double(q_vec).alias("qv"))
@@ -46,11 +47,10 @@ def cosine_topk_native(
     )
     nq = F.sqrt(F.aggregate(F.zip_with("qv", "qv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x))
     nc = F.sqrt(F.aggregate(F.zip_with("cv", "cv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x))
-    d = (
-        q.crossJoin(c)
-        .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cosine", F.round(dot / (nq * nc), 6))
-    )
+    d = q.crossJoin(c)
+    if exclude_self:
+        d = d.filter(F.col("qid") != F.col("cid"))
+    d = d.withColumn("cosine", F.round(dot / (nq * nc), 6))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
         d.withColumn("rank", F.row_number().over(w))
@@ -76,17 +76,31 @@ def cosine_topk_fast(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
     exclude_self: bool = True,
+    max_inline_corpus: int = 2_000_000,
 ) -> DataFrame:
     """Exact top-k with the corpus as a broadcast numpy matrix: one
-    matmul per Arrow batch. On a cluster the matrix rides the closure
-    (or SparkContext.broadcast) to every executor — the fact side
-    streams, nothing shuffles."""
+    matmul per Arrow batch; the fact side streams, nothing shuffles.
+    The matrix ships via SparkContext.broadcast — once per executor,
+    not once per task as a closure would.
+
+    An over-limit corpus must never reach the driver: the limit+count
+    pre-check (touches only max_inline_corpus+1 rows, no data pulled)
+    falls back to `cosine_topk_native`, whose broadcast nested loop
+    stays JVM-side — same output, same tie-breaks."""
+    if corpus.limit(max_inline_corpus + 1).count() > max_inline_corpus:
+        return cosine_topk_native(
+            queries, corpus, k,
+            q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec,
+            exclude_self=exclude_self,
+        )
     ids, M = _collect_matrix(corpus, c_id, c_vec)
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    bc = queries.sparkSession.sparkContext.broadcast((ids, Mn))
 
     out_schema = f"{q_id} long, neighbor_id long, cosine double, rank int"
 
     def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, Mn = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -172,7 +186,10 @@ def ivf_topk(
                 X = np.vstack(pdf[vec_name].to_numpy()).astype(np.float64)
                 Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
                 S = Xn @ Cn.T
-                top = np.argsort(-S, axis=1)[:, :nprobe_n]
+                # top-nprobe lists form a set (dedup downstream) — an
+                # O(C) argpartition suffices, no full sort of centroids
+                nn = min(nprobe_n, S.shape[1])
+                top = np.argpartition(-S, nn - 1, axis=1)[:, :nn]
                 ids = pdf[id_name].to_numpy()
                 rows = {id_name: [], "list_id": [], "vec": []}
                 for r in range(len(ids)):

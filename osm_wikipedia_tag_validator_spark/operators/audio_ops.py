@@ -176,10 +176,16 @@ def verify_invariants(audio: DataFrame, caption_fn=None) -> DataFrame:
             )
             rows = []
             for r, exp in zip(pdf.itertuples(index=False), expected):
-                _, samples = decode_wav(bytes(r.bytes))
+                cap_ok = r.caption == exp if exp is not None else isinstance(r.caption, str)
+                try:
+                    _, samples = decode_wav(bytes(r.bytes))
+                except ValueError:
+                    # structural corruption (RIFF header / chunk damage)
+                    # flips the row to False — never fails the task
+                    rows.append((r.audio_id, r.fmt, False, False, bool(cap_ok)))
+                    continue
                 ref = synth_samples(int(r.audio_id.split("-")[1]))
                 exact = samples.shape == ref.shape and bool(np.array_equal(samples, ref))
-                cap_ok = r.caption == exp if exp is not None else isinstance(r.caption, str)
                 rows.append(
                     (
                         r.audio_id, r.fmt, exact,

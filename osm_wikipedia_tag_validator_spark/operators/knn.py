@@ -98,6 +98,10 @@ def knn_bruteforce(
     e_lons = ent_pdf["lon"].to_numpy(dtype=np.float64)
     e_lats = ent_pdf["lat"].to_numpy(dtype=np.float64)
     kk = min(k, len(e_keys))
+    # SparkContext.broadcast ships the matrix once per executor; a plain
+    # closure capture re-serializes it into every task — the difference
+    # is |matrix| × tasks of network at 1000 executors
+    bc = queries.sparkSession.sparkContext.broadcast((e_keys, e_lons, e_lats))
 
     key_field = [f for f in queries.select(q_key).schema.fields][0]
     out_schema = (
@@ -107,6 +111,7 @@ def knn_bruteforce(
     )
 
     def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        e_keys, e_lons, e_lats = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue

@@ -15,6 +15,7 @@ report invalidation (`script.py:191-255`). Here:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import MapType
 
 
 def latest_per_key(
@@ -22,11 +23,23 @@ def latest_per_key(
     key_cols: list[str] | None = None,
     ts_col: str = "download_timestamp",
 ) -> DataFrame:
-    """Keep the newest row per key. Deterministic tiebreak on all key
-    cols; shuffle is one hash exchange on the key (unavoidable for a
-    global dedup; at 100 TB bucket the table by the key to elide it)."""
+    """Keep the newest row per key. Shuffle is one hash exchange on the
+    key (unavoidable for a global dedup; at 100 TB bucket the table by
+    the key to elide it).
+
+    Determinism: equal-timestamp rows within a key are broken by a
+    content fingerprint (xxhash64 over every column), so the winner is
+    a pure function of row content — stable across repartitionings and
+    input order. Rows that tie on the fingerprint are byte-identical,
+    so the pick is immaterial."""
     key_cols = key_cols or ["type", "id"]
-    w = Window.partitionBy(*key_cols).orderBy(F.desc(ts_col))
+    # maps aren't hashable in Spark; serialize them for the fingerprint
+    finger = [
+        F.to_json(f.name) if isinstance(f.dataType, MapType) else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    tie = F.xxhash64(*finger) if finger else F.lit(0)
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(ts_col), F.asc(tie))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -1,0 +1,141 @@
+"""Round-3 robustness fixes: ANN corpus-size guard, latest_per_key
+determinism, structural-corruption handling in verify operators, and
+the corrupt-input → ValueError codec contract."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_wikipedia_tag_validator_spark.datagen import audio as A
+from osm_wikipedia_tag_validator_spark.datagen import codecs as C
+from osm_wikipedia_tag_validator_spark.datagen import world as W
+from osm_wikipedia_tag_validator_spark.operators import ann as ANN
+from osm_wikipedia_tag_validator_spark.operators import audio_ops as AO
+from osm_wikipedia_tag_validator_spark.operators import images_ops as IO
+from osm_wikipedia_tag_validator_spark.operators.upsert import latest_per_key
+
+
+def _embeddings(spark, n=60, dim=8):
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_fast_over_limit_never_collects(spark, monkeypatch):
+    """An over-limit corpus must never reach toPandas(): the guard
+    falls back to the JVM-side native path and still returns the exact
+    top-k."""
+    df = _embeddings(spark)
+    q = df.filter(F.col("vec_id") < 10)
+
+    def boom(*a, **k):  # pragma: no cover - failure mode
+        raise AssertionError("over-limit corpus reached driver collect")
+
+    monkeypatch.setattr(ANN, "_collect_matrix", boom)
+    got = (
+        ANN.cosine_topk_fast(q, df, k=3, max_inline_corpus=10)
+        .toPandas()
+        .sort_values(["vec_id", "rank"])
+    )
+    exp = (
+        ANN.cosine_topk_native(q, df, k=3)
+        .toPandas()
+        .sort_values(["vec_id", "rank"])
+    )
+    assert got["neighbor_id"].tolist() == exp["neighbor_id"].tolist()
+    assert np.allclose(got["cosine"].to_numpy(), exp["cosine"].to_numpy())
+
+
+def test_cosine_topk_fast_under_limit_uses_matrix(spark):
+    df = _embeddings(spark)
+    q = df.filter(F.col("vec_id") < 10)
+    got = (
+        ANN.cosine_topk_fast(q, df, k=3, max_inline_corpus=1000)
+        .toPandas()
+        .sort_values(["vec_id", "rank"])
+    )
+    exp = ANN.cosine_topk_native(q, df, k=3).toPandas().sort_values(["vec_id", "rank"])
+    assert got["neighbor_id"].tolist() == exp["neighbor_id"].tolist()
+
+
+def test_latest_per_key_deterministic_on_ts_ties(spark):
+    """Equal-timestamp rows within a key must pick a stable winner —
+    a pure function of row content, invariant to partitioning and
+    input order."""
+    rows = [
+        ("node", 1, 100, f"payload-{i}") for i in range(6)
+    ] + [("way", 2, 50, "only")]
+    pdf = pd.DataFrame(rows, columns=["type", "id", "download_timestamp", "payload"])
+    winners = []
+    for perm_seed, nparts in [(0, 1), (1, 8), (2, 3)]:
+        shuffled = pdf.sample(frac=1.0, random_state=perm_seed)
+        df = spark.createDataFrame(shuffled).repartition(nparts)
+        out = latest_per_key(df).toPandas().sort_values(["type", "id"])
+        winners.append(out["payload"].tolist())
+    assert winners[0] == winners[1] == winners[2]
+    assert len(winners[0]) == 2
+
+
+def test_image_structural_corruption_flags_row(spark):
+    """Damaging a PNG/DCT8 *header* (not just the payload) must flip
+    the row to False — never crash the mapInPandas task."""
+    images = W.spark_images(spark, 12)
+    corrupt = images.withColumn(
+        "bytes",
+        F.when(
+            F.col("image_id") == "img-000000002",
+            # truncate to 10 bytes: kills any container structure
+            F.substring(F.col("bytes"), 1, 10),
+        ).otherwise(F.col("bytes")),
+    )
+    v = IO.verify_invariants(corrupt).toPandas().set_index("image_id")
+    assert not v.loc["img-000000002", "phash_match"]
+    assert v.loc["img-000000002", "psnr"] == 0.0
+    assert v.drop(index="img-000000002")["phash_match"].all()
+
+    d = IO.compare_against_reference(corrupt, images).toPandas().set_index("image_id")
+    assert not d.loc["img-000000002", "pixels_ok"]
+    assert d.drop(index="img-000000002")["pixels_ok"].all()
+
+
+def test_audio_structural_corruption_flags_row(spark):
+    audio = A.spark_audio(spark, 10)
+    corrupt = audio.withColumn(
+        "bytes",
+        F.when(
+            F.col("audio_id") == "aud-000000001",
+            # overwrite the RIFF magic → structural damage
+            F.concat(F.lit(b"XXXX"), F.substring(F.col("bytes"), 5, 1 << 24)),
+        ).otherwise(F.col("bytes")),
+    )
+    v = AO.verify_invariants(corrupt).toPandas().set_index("audio_id")
+    assert not v.loc["aud-000000001", "samples_exact"]
+    assert not v.loc["aud-000000001", "fp_match"]
+    assert v.drop(index="aud-000000001")["samples_exact"].all()
+
+
+def test_codec_corrupt_input_raises_valueerror():
+    img = np.full((16, 16, 3), 77, dtype=np.uint8)
+    for fmt in ["png", "dct8"]:
+        data = bytearray(C.encode_image(img, fmt))
+        # corrupt the compressed payload → zlib damage
+        data[len(data) // 2] ^= 0xFF
+        with pytest.raises(ValueError):
+            C.decode_image(bytes(data), fmt)
+        # truncate mid-header → struct damage
+        with pytest.raises(ValueError):
+            C.decode_image(bytes(C.encode_image(img, fmt))[:12], fmt)
+    # WAV: truncated chunk header
+    wav = A.encode_wav(A.synth_samples(0), 16000)
+    with pytest.raises(ValueError):
+        A.decode_wav(wav[:20])
+
+
+def test_neardup_by_phash_default_recall(spark):
+    """Default max_hamming is 6 again (8 bands make it exact)."""
+    import inspect
+
+    sig = inspect.signature(IO.neardup_by_phash)
+    assert sig.parameters["max_hamming"].default == 6
