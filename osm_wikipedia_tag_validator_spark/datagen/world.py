@@ -30,8 +30,15 @@ import numpy as np
 import pandas as pd
 
 from ..functions.hashing import hash2, splitmix64, u01
-from .codecs import decode_image, encode_image
-from ..functions.imagefns import ahash64
+from .codecs import (  # noqa: F401
+    decode_image,
+    dct8_encode_batch,
+    encode_image,
+    encode_image_ex,
+    fake_jpeg_encode_batch,
+    png_encode_batch,
+)
+from ..functions.imagefns import ahash64, ahash64_batch
 
 SEED = 20260816
 
@@ -348,6 +355,75 @@ def expected_captions(image_ids: list[str]) -> list[str]:
     return out
 
 
+def _image_meta(ids: np.ndarray):
+    """Per-id deterministic image metadata: (hash, width, height, fmt).
+    40% lossless PNG / 30% REAL lossy DCT (dct8, genuine transform-
+    quantization error) / 30% fake-JPEG (documented libjpeg stand-in)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    h = splitmix64(ids.astype(np.uint64) + np.uint64(SEED * 7 + 5))
+    wsel = np.array(_SIZES)[(u01(hash2(h, 1)) * 3).astype(np.int64)]
+    hsel = np.array(_SIZES)[(u01(hash2(h, 2)) * 3).astype(np.int64)]
+    fsel = u01(hash2(h, 3))
+    fmt = np.select([fsel < 0.4, fsel < 0.7], ["png", "dct8"], default="jpeg")
+    return h, wsel, hsel, fmt
+
+
+def _image_base(ht: int, w: int) -> np.ndarray:
+    # float32 end-to-end: the gradient lives in [0, 382] where float32
+    # is exact to ~1e-5 — and the hot loop moves half the bytes of the
+    # former float64 path
+    gy = np.arange(ht, dtype=np.float32)[:, None]
+    gx = np.arange(w, dtype=np.float32)[None, :]
+    return (
+        gy * np.float32(255 / max(ht - 1, 1)) + gx * np.float32(255 / max(w - 1, 1))
+    ) * np.float32(0.5)
+
+
+_CH_SCALE = np.array([1.0, 0.5, 1.5], dtype=np.float32)
+_BASE_Q_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _build_imgs(ht: int, w: int, hh: np.ndarray) -> np.ndarray:
+    """All images of one (h, w) size as a single (n, h, w, 3) uint8 op.
+
+    The per-channel scaled gradient is quantized ONCE per size —
+    ⌊base·scale⌋ mod 256 as uint8 — and each image is then a single
+    uint8 broadcast add (natural mod-256 wraparound) of its
+    hash-derived channel offsets: for integer offsets o,
+    ⌊(b+o) mod 256⌋ = (⌊b⌋+o) mod 256, so the add never touches
+    floats. The hot loop moves exactly n·h·w·3 bytes in and out."""
+    key = (ht, w)
+    if key not in _BASE_Q_CACHE:
+        base = _image_base(ht, w)  # (ht, w) float32
+        _BASE_Q_CACHE[key] = (
+            np.floor(base[:, :, None] * _CH_SCALE[None, None, :]).astype(np.int64)
+            % 256
+        ).astype(np.uint8)
+    base_q = _BASE_Q_CACHE[key]  # (ht, w, 3) uint8
+    offs = np.stack(
+        [hh & 0xFF, (hh >> 8) & 0xFF, (hh >> 16) & 0xFF], axis=1
+    ).astype(np.uint8)  # (n, 3)
+    return base_q[None, :, :, :] + offs[:, None, None, :]
+
+
+def _captions_for(ids: np.ndarray, elements: pd.DataFrame | None) -> list[str]:
+    if elements is None:
+        elements = gen_elements_batch(ids)
+    # keep only first generation per id for caption linkage
+    first_gen = elements.drop_duplicates(subset=["id"], keep="first")
+    tags_by_id = dict(zip(first_gen["id"].to_numpy(), first_gen["tags"]))
+    out = []
+    for eid in ids:
+        tags = tags_by_id[int(eid)]
+        caption = ""
+        for k in WIKI_KEYS:
+            if k in tags:
+                caption = tags[k]
+                break
+        out.append(caption)
+    return out
+
+
 def gen_image_pixel_rows(
     ids: np.ndarray, elements: pd.DataFrame | None = None
 ) -> list[tuple[int, np.ndarray, str, str]]:
@@ -357,74 +433,66 @@ def gen_image_pixel_rows(
     frames directly — no wasted encode/decode round-trip through a
     lossy still format the video never stores)."""
     ids = np.asarray(ids, dtype=np.int64)
-    h = splitmix64(ids.astype(np.uint64) + np.uint64(SEED * 7 + 5))
-    wsel = np.array(_SIZES)[(u01(hash2(h, 1)) * 3).astype(np.int64)]
-    hsel = np.array(_SIZES)[(u01(hash2(h, 2)) * 3).astype(np.int64)]
-    # 40% lossless PNG / 30% REAL lossy DCT (dct8, genuine transform-
-    # quantization error) / 30% fake-JPEG (documented libjpeg stand-in)
-    fsel = u01(hash2(h, 3))
-    fmt = np.select([fsel < 0.4, fsel < 0.7], ["png", "dct8"], default="jpeg")
-
-    if elements is None:
-        elements = gen_elements_batch(ids)
-    # keep only first generation per id for caption linkage
-    first_gen = elements.drop_duplicates(subset=["id"], keep="first")
-    tags_by_id = dict(zip(first_gen["id"].to_numpy(), first_gen["tags"]))
-
-    # base gradient per (h, w) combo, computed once per batch
-    base_cache: dict[tuple[int, int], np.ndarray] = {}
-
-    def _base(ht: int, w: int) -> np.ndarray:
-        key = (ht, w)
-        if key not in base_cache:
-            gy = np.arange(ht, dtype=np.float64)[:, None]
-            gx = np.arange(w, dtype=np.float64)[None, :]
-            base_cache[key] = (gy * 255 / max(ht - 1, 1) + gx * 255 / max(w - 1, 1)) / 2
-        return base_cache[key]
-
-    out = []
-    for i, eid in enumerate(ids):
-        w, ht = int(wsel[i]), int(hsel[i])
-        hh = int(h[i])
-        base = _base(ht, w)
-        img = np.stack(
-            [
-                (base + (hh & 0xFF)) % 256,
-                (base * 0.5 + ((hh >> 8) & 0xFF)) % 256,
-                (base * 1.5 + ((hh >> 16) & 0xFF)) % 256,
-            ],
-            axis=-1,
-        ).astype(np.uint8)
-        tags = tags_by_id[int(eid)]
-        caption = ""
-        for k in WIKI_KEYS:
-            if k in tags:
-                caption = tags[k]
-                break
-        out.append((int(eid), img, caption, str(fmt[i])))
-    return out
+    h, wsel, hsel, fmt = _image_meta(ids)
+    captions = _captions_for(ids, elements)
+    imgs: list[np.ndarray | None] = [None] * len(ids)
+    for ht, w in {(int(a), int(b)) for a, b in zip(hsel, wsel)}:
+        idx = np.where((hsel == ht) & (wsel == w))[0]
+        stack = _build_imgs(ht, w, h[idx])
+        for j, i in enumerate(idx):
+            imgs[i] = stack[j]
+    return [
+        (int(eid), imgs[i], captions[i], str(fmt[i]))
+        for i, eid in enumerate(ids)
+    ]
 
 
 def gen_images_batch(ids: np.ndarray, elements: pd.DataFrame | None = None) -> pd.DataFrame:
     """One image row per element id: deterministic gradient + hash noise,
     PNG (lossless), dct8 (real lossy) or fake-JPEG, caption = the
-    element's wiki tag payload, phash = aHash of the DECODED pixels."""
-    rows = []
-    for eid, img, caption, fmt in gen_image_pixel_rows(ids, elements):
-        data = encode_image(img, fmt)
-        decoded = decode_image(data)
-        rows.append(
-            {
-                "image_id": image_id_for(eid),
-                "bytes": data,
-                "w": img.shape[1],
-                "h": img.shape[0],
-                "fmt": fmt,
-                "caption": caption,
-                "phash": ahash64(decoded),
-            }
-        )
-    return pd.DataFrame(rows)
+    element's wiki tag payload, phash = aHash of the DECODED pixels.
+
+    Grouped-vectorized: images are generated, encoded and hashed one
+    (size, fmt) GROUP at a time (9 sizes × 3 fmts), so the per-image
+    Python/numpy call overhead that dominates at 16–64 px amortizes
+    across the group — the batch codec paths are byte-identical to the
+    per-image ones (test_codecs) and `phash` stays the aHash of the
+    DECODED pixels (batch encoders return them: identity for png, the
+    quantized plane for fake-jpeg, the in-memory reconstruction for
+    dct8)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    h, wsel, hsel, fmt = _image_meta(ids)
+    captions = _captions_for(ids, elements)
+    bytes_out: list[bytes | None] = [None] * n
+    phash_out = np.zeros(n, dtype=np.int64)
+    for ht, w in {(int(a), int(b)) for a, b in zip(hsel, wsel)}:
+        size_mask = (hsel == ht) & (wsel == w)
+        for f in ("png", "jpeg", "dct8"):
+            idx = np.where(size_mask & (fmt == f))[0]
+            if len(idx) == 0:
+                continue
+            stack = _build_imgs(ht, w, h[idx])
+            if f == "png":
+                datas, decoded = png_encode_batch(stack), stack
+            elif f == "jpeg":
+                datas, decoded = fake_jpeg_encode_batch(stack)
+            else:
+                datas, decoded = dct8_encode_batch(stack)
+            phash_out[idx] = ahash64_batch(decoded)
+            for j, i in enumerate(idx):
+                bytes_out[i] = datas[j]
+    return pd.DataFrame(
+        {
+            "image_id": [image_id_for(e) for e in ids],
+            "bytes": bytes_out,
+            "w": wsel.astype(np.int32),
+            "h": hsel.astype(np.int32),
+            "fmt": fmt,
+            "caption": captions,
+            "phash": phash_out,
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
