@@ -39,6 +39,7 @@ from .codecs import (  # noqa: F401
     png_encode_batch,
 )
 from ..functions.imagefns import ahash64, ahash64_batch
+from ..operators.validator import KNOWN_WIKIPEDIA_LANGS, LANG_CODE_REDIRECTS
 
 SEED = 20260816
 
@@ -51,7 +52,8 @@ CLUSTERS = [
     (26.0, 6.0, 0.25),  # inside gamma (outside its hole)
 ]
 
-LANGS = ["en", "de", "pl", "fr", "es"]
+# mirrors the engine's canonical language list (validator owns it)
+LANGS = list(KNOWN_WIKIPEDIA_LANGS)
 WIKI_KEYS = [
     "wikipedia",
     "wikidata",
@@ -213,6 +215,12 @@ def gen_elements_batch(ids: np.ndarray) -> pd.DataFrame:
     both_tags = u01(hash2(h, 13)) < 0.15  # wikipedia AND wikidata
     mismatch = u01(hash2(h, 14)) < 0.3  # of those, point at different entities
     old_style = u01(hash2(h, 18)) < 0.04  # wikipedia:<lang>=Article (invalid old form)
+    # language-code defects on the wikipedia value ('wikipedia tag using
+    # redirecting language code' / 'malformed wikipedia tag -
+    # nonexisting language code')
+    lang_bad = u01(hash2(h, 19))
+    alias_codes = list(LANG_CODE_REDIRECTS)
+    alias_idx = (u01(hash2(h, 20)) * len(alias_codes)).astype(np.int64)
 
     ts = np.int64(1_700_000_000) + (splitmix64(hash2(h, 15)) % np.uint64(900_000)).astype(
         np.int64
@@ -237,7 +245,12 @@ def gen_elements_batch(ids: np.ndarray) -> pd.DataFrame:
                     val = f"Q{e}" if not malformed[i] else f"wd-{e}"
                     tags[k] = val
                 else:
-                    val = f"{langs[i]}:Article{e}" if not malformed[i] else f"Article{e}"
+                    use_lang = langs[i]
+                    if lang_bad[i] < 0.02:
+                        use_lang = alias_codes[int(alias_idx[i])]
+                    elif lang_bad[i] < 0.035:
+                        use_lang = "xx"  # nonexisting wikipedia language
+                    val = f"{use_lang}:Article{e}" if not malformed[i] else f"Article{e}"
                     tags[k] = val
                 if both_tags[i] and not old_style[i] and "wikidata" not in k:
                     e2 = e if not mismatch[i] else (e + 7) % N_ENTITIES
@@ -298,16 +311,35 @@ def gen_wiki_entities(n: int = N_ENTITIES) -> pd.DataFrame:
     exists = u01(hash2(h, 4)) >= 0.08
     inst_r = u01(hash2(h, 5))
     # class spread covers every secondary-class phrase the validator
-    # routes (SECONDARY_CLASS_PHRASES), plus place/generic (no error)
+    # routes — review classes (SECONDARY_CLASS_PHRASES) AND the
+    # tests-quarantine slice (SECONDARY_CLASS_PHRASES_TESTS) — plus
+    # place/generic (no error)
     instance_of = np.select(
         [inst_r < 0.08, inst_r < 0.14, inst_r < 0.17, inst_r < 0.20,
-         inst_r < 0.23, inst_r < 0.26, inst_r < 0.7],
-        ["human", "brand", "battle", "given name", "taxon", "event", "place"],
+         inst_r < 0.23, inst_r < 0.26,
+         inst_r < 0.28, inst_r < 0.30, inst_r < 0.315, inst_r < 0.33,
+         inst_r < 0.34, inst_r < 0.35,
+         inst_r < 0.7],
+        ["human", "brand", "battle", "given name", "taxon", "event",
+         "science", "belief", "human behavior", "form of art",
+         "aircraft crash", "signage",
+         "place"],
         default="generic",
     ).astype(object)
     lon = _quantize(WORLD["lon_min"] + u01(hash2(h, 6)) * (WORLD["lon_max"] - WORLD["lon_min"]))
     lat = _quantize(WORLD["lat_min"] + u01(hash2(h, 7)) * (WORLD["lat_max"] - WORLD["lat_min"]))
     has_coord = u01(hash2(h, 8)) < 0.7
+    # sitelinks: the article in its own language, plus (~60%) a second
+    # language's sitelink — what the language-preference rules probe
+    lang2_idx = (u01(hash2(h, 9)) * len(LANGS)).astype(np.int64)
+    has_lang2 = u01(hash2(h, 10)) < 0.6
+    sitelinks = []
+    for i in range(n):
+        sl = {str(lang[i]): f"{lang[i]}:Article{i}"}
+        l2 = LANGS[int(lang2_idx[i])]
+        if has_lang2[i] and l2 != lang[i]:
+            sl[l2] = f"{l2}:Article{i}"
+        sitelinks.append(sl)
     return pd.DataFrame(
         {
             "qid": [f"Q{i}" for i in ids],
@@ -320,6 +352,7 @@ def gen_wiki_entities(n: int = N_ENTITIES) -> pd.DataFrame:
             "lat": np.where(has_coord, lat, np.nan),
             "lon": np.where(has_coord, lon, np.nan),
             "has_coord": has_coord,
+            "sitelinks": sitelinks,
         }
     )
 
@@ -520,7 +553,8 @@ REGIONS_SCHEMA = (
 WIKI_SCHEMA = (
     "qid string, article string, lang string, redirect_to string, "
     "is_disambiguation boolean, exists boolean, instance_of string, "
-    "lat double, lon double, has_coord boolean"
+    "lat double, lon double, has_coord boolean, "
+    "sitelinks map<string,string>"
 )
 
 

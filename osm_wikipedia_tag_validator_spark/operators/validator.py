@@ -61,6 +61,36 @@ SECONDARY_CLASS_PHRASES = {
     "event": "a historical event",
 }
 
+# experimental secondary classes the reference quarantines to the tests
+# page (`generate_webpage_with_error_output.py:542-670` — same id
+# format, routed to `for_tests` instead of `for_review`); a
+# representative slice of those families
+SECONDARY_CLASS_PHRASES_TESTS = {
+    "aircraft crash": "an aircraft crash",
+    "signage": "a signage",
+    "science": "a science",
+    "human behavior": "a human behavior",
+    "belief": "a belief",
+    "form of art": "a form of art",
+}
+
+# language-preference machinery (reference detector ctor
+# `script.py:350-358`: `expected_language_code` +
+# `languages_ordered_by_preference=[language_code]`; wrong-language
+# family `generate_webpage_with_error_output.py:277-293,486-493`).
+# Canonical wikipedia language codes the engine recognizes — datagen
+# mirrors this list; on a cluster this is the full sitematrix.
+KNOWN_WIKIPEDIA_LANGS = ["en", "de", "pl", "fr", "es"]
+# code aliases resolved to a canonical wikipedia (reference class
+# "wikipedia tag using redirecting language code"); ISO 639-2 → 639-1
+LANG_CODE_REDIRECTS = {
+    "eng": "en",
+    "ger": "de",
+    "pol": "pl",
+    "fra": "fr",
+    "spa": "es",
+}
+
 _FROM_TAGS = ["wikipedia and wikidata", "wikipedia", "wikidata"]
 
 # secondary-key prefixes (reference: "malformed secondary wikipedia tag
@@ -82,18 +112,31 @@ RULE_PRIORITIES: dict[str, int] = {
     "malformed_wikidata": 2,
     "malformed_secondary_wikidata": 3,
     "old_style_wikipedia": 4,
-    "wikipedia_404": 5,
-    "wikidata_404": 6,
-    "secondary_wikidata_404": 7,
-    "mismatch_follow_wikipedia_redirect": 8,
-    "mismatch_follow_wikidata_redirect": 9,
-    "mismatch": 10,
-    "wikidata_redirect": 11,
-    "wikipedia_redirect": 12,
-    "wikipedia_disambig": 13,
-    "secondary_class": 14,
-    "wrong_language": 15,
-    "outside_region": 16,
+    # language-code diagnoses must precede 404: an aliased/unknown code
+    # never joins the entity dim, so without them the row would
+    # misreport as a 404
+    "nonexisting_lang_code": 5,
+    "lang_code_redirect": 6,
+    "wikipedia_404": 7,
+    "wikidata_404": 8,
+    "secondary_wikidata_404": 9,
+    "mismatch_follow_wikipedia_redirect": 10,
+    "mismatch_follow_wikidata_redirect": 11,
+    "mismatch": 12,
+    "wikidata_redirect": 13,
+    "wikipedia_redirect": 14,
+    "wikipedia_disambig": 15,
+    "secondary_class": 16,
+    # the fixable refinement outranks the generic wrong-language id
+    "wrong_language_fixable": 17,
+    "wrong_language": 18,
+    # tag-completion families (reference obvious_fixes 'wikidata from
+    # wikipedia tag' / 'wikipedia from wikidata tag[, unexpected
+    # language]') — gated by classify(request_missing_tags=...)
+    "wikidata_from_wikipedia": 19,
+    "wikipedia_from_wikidata": 20,
+    "wikipedia_from_wikidata_lang": 21,
+    "outside_region": 22,
 }
 
 
@@ -119,11 +162,29 @@ def catalog_rows() -> list[tuple[str, str, int, str]]:
         ("wikidata tag links to a redirect", "obvious", P["wikidata_redirect"], "wikidata_redirect"),
         ("wikipedia tag links to a redirect", "obvious", P["wikipedia_redirect"], "wikipedia_redirect"),
         ("wikipedia tag links to a disambiguation page", "tests", P["wikipedia_disambig"], "wikipedia_disambig"),
+        ("malformed wikipedia tag - nonexisting language code", "review",
+         P["nonexisting_lang_code"], "nonexisting_lang_code"),
+        ("wikipedia tag using redirecting language code", "obvious",
+         P["lang_code_redirect"], "lang_code_redirect"),
+        ("wikipedia tag in unexpected language, good one in expected language found",
+         "obvious", P["wrong_language_fixable"], "wrong_language_fixable"),
         ("wikipedia tag unexpected language", "review", P["wrong_language"], "wrong_language"),
+        ("wikidata from wikipedia tag", "obvious",
+         P["wikidata_from_wikipedia"], "wikidata_from_wikipedia"),
+        ("wikipedia from wikidata tag", "obvious",
+         P["wikipedia_from_wikidata"], "wikipedia_from_wikidata"),
+        ("wikipedia from wikidata tag, unexpected language", "obvious",
+         P["wikipedia_from_wikidata_lang"], "wikipedia_from_wikidata_lang"),
         ("element outside declared region", "review", P["outside_region"], "outside_region"),
         # routed-but-never-rendered class (reference `ignored()` list)
         ("wikipedia tag in outdated form", "ignored", 99, "legacy"),
     ]
+    for from_tags in _FROM_TAGS:
+        for phrase in SECONDARY_CLASS_PHRASES_TESTS.values():
+            rows.append((
+                f"should use a secondary wikipedia tag - linking from {from_tags} tag to {phrase}",
+                "tests", P["secondary_class"], "secondary_class",
+            ))
     for pfx in _SECONDARY_WP_PREFIXES:
         rows.append((
             f"malformed secondary wikipedia tag - for {pfx} prefixed tags",
@@ -205,6 +266,7 @@ def join_wiki_entities(elements: DataFrame, wiki: DataFrame) -> DataFrame:
             F.col("redirect_to").alias("wp_redirect_to"),
             F.col("is_disambiguation").alias("wp_is_disambiguation"),
             F.col("instance_of").alias("wp_instance_of"),
+            F.col("sitelinks").alias("wp_sitelinks"),
         )
     )
     wd = F.broadcast(
@@ -214,6 +276,7 @@ def join_wiki_entities(elements: DataFrame, wiki: DataFrame) -> DataFrame:
             F.col("redirect_to").alias("wd_redirect_to"),
             F.col("is_disambiguation").alias("wd_is_disambiguation"),
             F.col("instance_of").alias("wd_instance_of"),
+            F.col("sitelinks").alias("wd_sitelinks"),
         )
     )
     redir = F.broadcast(
@@ -231,14 +294,22 @@ def join_wiki_entities(elements: DataFrame, wiki: DataFrame) -> DataFrame:
 
 def _phrase_map_col() -> Column:
     kv: list[Column] = []
-    for inst, phrase in SECONDARY_CLASS_PHRASES.items():
+    for inst, phrase in {**SECONDARY_CLASS_PHRASES, **SECONDARY_CLASS_PHRASES_TESTS}.items():
         kv.extend([F.lit(inst), F.lit(phrase)])
+    return F.create_map(*kv)
+
+
+def _lang_redirect_map_col() -> Column:
+    kv: list[Column] = []
+    for alias, target in LANG_CODE_REDIRECTS.items():
+        kv.extend([F.lit(alias), F.lit(target)])
     return F.create_map(*kv)
 
 
 def build_rules(
     region_lang_col: str = "language_code",
     inside_region_col: str | None = "inside_declared_region",
+    request_missing_tags: bool = False,
 ) -> dict[str, tuple[Column, Column]]:
     """family → (condition, error_id expression). Families with
     GENERATED ids (secondary classes, prefixed malformed variants)
@@ -288,12 +359,24 @@ def build_rules(
         .otherwise("wikidata")
     )
     secondary_class = (from_wp | from_wd) & phrase.isNotNull()
+    # language-preference machinery (reference `script.py:350-358`:
+    # `languages_ordered_by_preference=[language_code]` — the region's
+    # single preferred language, which is what region_lang_col carries)
+    lang = F.col("wikipedia_lang")
+    lang_known = lang.isin(*KNOWN_WIKIPEDIA_LANGS)
+    lang_alias = lang.isin(*LANG_CODE_REDIRECTS.keys())
+    wp_shape_ok = has_wp & ~wp_malformed
     wrong_lang = (
-        has_wp
-        & ~wp_malformed
+        wp_shape_ok
         & F.col(region_lang_col).isNotNull()
-        & (F.col("wikipedia_lang") != F.col(region_lang_col))
+        & (lang != F.col(region_lang_col))
     )
+    # a sitelink in the region's preferred language makes the wrong-
+    # language complaint bot-fixable (reference obvious_fixes class)
+    preferred_sitelink = F.try_element_at(
+        F.col("wp_sitelinks"), F.col(region_lang_col)
+    )
+    wrong_lang_fixable = wrong_lang & preferred_sitelink.isNotNull()
 
     def _lit(s: str) -> Column:
         return F.lit(s)
@@ -349,8 +432,44 @@ def build_rules(
                 phrase,
             ),
         ),
+        "nonexisting_lang_code": (
+            wp_shape_ok & ~lang_known & ~lang_alias,
+            _lit("malformed wikipedia tag - nonexisting language code"),
+        ),
+        "lang_code_redirect": (
+            wp_shape_ok & lang_alias,
+            _lit("wikipedia tag using redirecting language code"),
+        ),
+        "wrong_language_fixable": (
+            wrong_lang_fixable,
+            _lit("wikipedia tag in unexpected language, good one in expected language found"),
+        ),
         "wrong_language": (wrong_lang, _lit("wikipedia tag unexpected language")),
     }
+    if request_missing_tags:
+        # tag-completion families (reference obvious_fixes
+        # `generate_webpage_with_error_output.py:282-286`): propose the
+        # missing twin tag from what the entity dim already knows. Off
+        # by default so the baseline cascade (and its golden fixtures)
+        # only complains about tags that are PRESENT and wrong.
+        region_sitelink = F.try_element_at(
+            F.col("wd_sitelinks"), F.col(region_lang_col)
+        )
+        any_sitelink = F.col("wd_sitelinks").isNotNull() & (
+            F.size(F.map_keys(F.col("wd_sitelinks"))) > 0
+        )
+        rules["wikidata_from_wikipedia"] = (
+            from_wp & ~has_wd & F.col("wp_qid").isNotNull(),
+            _lit("wikidata from wikipedia tag"),
+        )
+        rules["wikipedia_from_wikidata"] = (
+            ~has_wp & from_wd & region_sitelink.isNotNull(),
+            _lit("wikipedia from wikidata tag"),
+        )
+        rules["wikipedia_from_wikidata_lang"] = (
+            ~has_wp & from_wd & region_sitelink.isNull() & any_sitelink,
+            _lit("wikipedia from wikidata tag, unexpected language"),
+        )
     if inside_region_col is not None:
         rules["outside_region"] = (
             ~F.coalesce(F.col(inside_region_col), F.lit(True)),
@@ -361,7 +480,8 @@ def build_rules(
 
 def classify(df: DataFrame, region_lang_col: str = "language_code",
              inside_region_col: str | None = "inside_declared_region",
-             priorities: dict[str, int] | None = None) -> DataFrame:
+             priorities: dict[str, int] | None = None,
+             request_missing_tags: bool = False) -> DataFrame:
     """Priority-ordered rule cascade → error_id (NULL = clean).
 
     The cascade ORDER comes from `priorities` (default
@@ -369,7 +489,7 @@ def classify(df: DataFrame, region_lang_col: str = "language_code",
     from) — "most important problem" selection is data, not code
     structure."""
     priorities = priorities or RULE_PRIORITIES
-    rules = build_rules(region_lang_col, inside_region_col)
+    rules = build_rules(region_lang_col, inside_region_col, request_missing_tags)
     ordered = sorted(rules.items(), key=lambda kv: priorities.get(kv[0], 10_000))
     cascade: Column | None = None
     for _fam, (cond, err) in ordered:
@@ -486,6 +606,61 @@ def build_report(df: DataFrame) -> DataFrame:
                 to_key=F.lit("wikipedia"),
             ),
         )
+        .when(
+            err == "wikipedia tag using redirecting language code",
+            _change(
+                used_wp,
+                F.col("wikipedia_tag"),
+                F.concat(
+                    F.element_at(_lang_redirect_map_col(), F.col("wikipedia_lang")),
+                    F.lit(":"),
+                    F.col("wikipedia_article"),
+                ),
+            ),
+        )
+        .when(
+            err
+            == "wikipedia tag in unexpected language, good one in expected language found",
+            _change(
+                used_wp,
+                F.col("wikipedia_tag"),
+                F.try_element_at(F.col("wp_sitelinks"), F.col("language_code")),
+            ),
+        )
+        .when(
+            err == "wikidata from wikipedia tag",
+            F.array(
+                F.struct(
+                    F.create_map().cast("map<string,string>").alias("from"),
+                    F.create_map(F.lit("wikidata"), F.col("wp_qid")).alias("to"),
+                )
+            ),
+        )
+        .when(
+            err == "wikipedia from wikidata tag",
+            F.array(
+                F.struct(
+                    F.create_map().cast("map<string,string>").alias("from"),
+                    F.create_map(
+                        F.lit("wikipedia"),
+                        F.try_element_at(F.col("wd_sitelinks"), F.col("language_code")),
+                    ).alias("to"),
+                )
+            ),
+        )
+        .when(
+            err == "wikipedia from wikidata tag, unexpected language",
+            F.array(
+                F.struct(
+                    F.create_map().cast("map<string,string>").alias("from"),
+                    F.create_map(
+                        F.lit("wikipedia"),
+                        # deterministic pick among available sitelinks
+                        F.array_min(F.map_values(F.col("wd_sitelinks"))),
+                    ).alias("to"),
+                )
+            ),
+        )
     )
     msg = F.concat(err, F.lit(" for "), url)
     report = F.when(
@@ -536,6 +711,7 @@ def validate(
     wiki: DataFrame,
     regions: DataFrame,
     inside_region_col: str | None = None,
+    request_missing_tags: bool = False,
 ) -> DataFrame:
     """Full V1 pipeline: relevance filter → tag extract → entity joins →
     region-language join → cascade → ignored-problems MARK (not drop:
@@ -556,6 +732,7 @@ def validate(
     classified = classify(
         with_lang,
         inside_region_col=inside_region_col,
+        request_missing_tags=request_missing_tags,
     )
     marked = mark_ignored_problems(classified, regions)
     return build_report(marked)

@@ -8,8 +8,8 @@ from osm_wikipedia_tag_validator_spark.plans import incremental as INC
 def _mini_wiki(spark, q1_exists=True):
     return spark.createDataFrame(
         [
-            ("Q1", "en:Good", "en", None, False, q1_exists, "place", 1.0, 1.0, True),
-            ("Q2", "en:Other", "en", None, False, True, "place", None, None, False),
+            ("Q1", "en:Good", "en", None, False, q1_exists, "place", 1.0, 1.0, True, {"en": "en:Good"}),
+            ("Q2", "en:Other", "en", None, False, True, "place", None, None, False, {"en": "en:Other"}),
         ],
         W.WIKI_SCHEMA,
     )

@@ -45,14 +45,18 @@ def test_invalidate_stale(spark):
 
 def _mini_world(spark):
     regions = W.spark_regions(spark)
+    # sitelinks: Q5 has an en twin (→ fixable wrong-language), Q7 is
+    # de-only (→ plain wrong-language), Q8 is a tests-quarantine class
     wiki = spark.createDataFrame(
         [
-            ("Q1", "en:Good", "en", None, False, True, "place", 1.0, 1.0, True),
-            ("Q2", "en:Redirecting", "en", "Q1", False, True, "place", None, None, False),
-            ("Q3", "en:Disambig", "en", None, True, True, "place", None, None, False),
-            ("Q4", "en:Person", "en", None, False, True, "human", None, None, False),
-            ("Q5", "de:Gut", "de", None, False, True, "place", None, None, False),
-            ("Q6", "en:Gone", "en", None, False, False, "place", None, None, False),
+            ("Q1", "en:Good", "en", None, False, True, "place", 1.0, 1.0, True, {"en": "en:Good"}),
+            ("Q2", "en:Redirecting", "en", "Q1", False, True, "place", None, None, False, {"en": "en:Redirecting"}),
+            ("Q3", "en:Disambig", "en", None, True, True, "place", None, None, False, {"en": "en:Disambig"}),
+            ("Q4", "en:Person", "en", None, False, True, "human", None, None, False, {"en": "en:Person"}),
+            ("Q5", "de:Gut", "de", None, False, True, "place", None, None, False, {"de": "de:Gut", "en": "en:Gut"}),
+            ("Q6", "en:Gone", "en", None, False, False, "place", None, None, False, {"en": "en:Gone"}),
+            ("Q7", "de:Nur", "de", None, False, True, "place", None, None, False, {"de": "de:Nur"}),
+            ("Q8", "en:Quark", "en", None, False, True, "science", None, None, False, {"en": "en:Quark"}),
         ],
         W.WIKI_SCHEMA,
     )
@@ -98,7 +102,13 @@ CASES = [
      "should use a secondary wikipedia tag - linking from wikidata tag to a human"),
     ({"wikipedia": "en:Person", "wikidata": "Q4"},
      "should use a secondary wikipedia tag - linking from wikipedia and wikidata tag to a human"),
-    ({"wikipedia": "de:Gut"}, "wikipedia tag unexpected language"),
+    ({"wikipedia": "de:Gut"},
+     "wikipedia tag in unexpected language, good one in expected language found"),
+    ({"wikipedia": "de:Nur"}, "wikipedia tag unexpected language"),
+    ({"wikipedia": "eng:Good"}, "wikipedia tag using redirecting language code"),
+    ({"wikipedia": "xx:Good"}, "malformed wikipedia tag - nonexisting language code"),
+    ({"wikipedia": "en:Quark"},
+     "should use a secondary wikipedia tag - linking from wikipedia tag to a science"),
     ({"name": "no wiki tags"}, "FILTERED"),
 ]
 
@@ -228,6 +238,50 @@ def test_proposed_wikipedia_target_extraction(spark):
     )
     with pytest.raises(Exception, match="multiple|ASSERT"):
         V.proposed_wikipedia_target(broken).collect()
+
+
+def test_proposed_change_wrong_language_fixable(spark):
+    # language-preference obvious fix: retag to the sitelink in the
+    # region's preferred language (alpha → en)
+    _, out = _one_error(spark, {"wikipedia": "de:Gut"})
+    ch = out["report"].iloc[0]["proposed_tagging_changes"][0]
+    assert ch["from"] == {"wikipedia": "de:Gut"}
+    assert ch["to"] == {"wikipedia": "en:Gut"}
+
+
+def test_proposed_change_lang_code_redirect(spark):
+    _, out = _one_error(spark, {"wikipedia": "eng:Good"})
+    ch = out["report"].iloc[0]["proposed_tagging_changes"][0]
+    assert ch["from"] == {"wikipedia": "eng:Good"}
+    assert ch["to"] == {"wikipedia": "en:Good"}
+
+
+def test_request_missing_tags_families(spark):
+    # reference obvious_fixes tag-completion classes, gated off by
+    # default (baseline cascade only complains about present-but-wrong
+    # tags) and enabled via request_missing_tags=True
+    regions, wiki = _mini_world(spark)
+
+    def run(tags, **kw):
+        return V.validate(_elem(spark, tags), wiki, regions, **kw).toPandas()
+
+    # default off: a valid wikipedia-only element stays clean
+    assert run({"wikipedia": "en:Good"})["error_id"].iloc[0] is None
+
+    out = run({"wikipedia": "en:Good"}, request_missing_tags=True)
+    assert out["error_id"].iloc[0] == "wikidata from wikipedia tag"
+    ch = out["report"].iloc[0]["proposed_tagging_changes"][0]
+    assert ch["from"] == {} and ch["to"] == {"wikidata": "Q1"}
+
+    out = run({"wikidata": "Q5"}, request_missing_tags=True)
+    assert out["error_id"].iloc[0] == "wikipedia from wikidata tag"
+    ch = out["report"].iloc[0]["proposed_tagging_changes"][0]
+    assert ch["to"] == {"wikipedia": "en:Gut"}  # region-preferred sitelink
+
+    out = run({"wikidata": "Q7"}, request_missing_tags=True)
+    assert out["error_id"].iloc[0] == "wikipedia from wikidata tag, unexpected language"
+    ch = out["report"].iloc[0]["proposed_tagging_changes"][0]
+    assert ch["to"] == {"wikipedia": "de:Nur"}
 
 
 def test_every_emitted_error_is_routed(spark):
