@@ -68,6 +68,16 @@ class Engine:
     def region_rollup(self, validated, regions, error_catalog) -> DataFrame:
         return _pipe.region_rollup(validated, regions, error_catalog)
 
+    def sync_tasks(self, current_reports, existing_tasks, **kw):
+        from .operators import reports as _rep
+
+        return _rep.sync_tasks(current_reports, existing_tasks, **kw)
+
+    def featured_rotation(self, tasks, featured_pool, **kw) -> DataFrame:
+        from .operators import reports as _rep
+
+        return _rep.featured_rotation(tasks, featured_pool, **kw)
+
     # --- state ---
     def latest_per_key(self, df, **kw) -> DataFrame:
         return _upsert.latest_per_key(df, **kw)

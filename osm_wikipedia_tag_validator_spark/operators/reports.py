@@ -162,6 +162,89 @@ def sync_tasks(current_reports: DataFrame, existing_tasks: DataFrame,
     return to_add, to_remove
 
 
+# MapRoulette task statuses that count as ACTIVE for the featured
+# rotation (`maproulette_challenge_creation.py:502-507`: CREATED or
+# SKIPPED; everything else — fixed, false-positive, deleted, already
+# fixed — is settled)
+ACTIVE_TASK_STATUSES = ("created", "skipped")
+
+
+def featured_rotation(
+    tasks: DataFrame,
+    featured_pool: list[str],
+    not_to_be_featured: list[str] | None = None,
+    n_featured: int = 2,
+    min_total_tasks: int = 50,
+    error_id_col: str = "error_id",
+    status_col: str = "status",
+) -> DataFrame:
+    """Featured-challenge rotation
+    (`maproulette_challenge_creation.py:435-479`,
+    `ensure_correct_number_of_featured_groups`): keep `n_featured`
+    challenges featured, walking the preference-ordered pool —
+
+      * every challenge starts unfeatured (the reference unfeatures the
+        whole pool + the not-to-be-featured list first, :442-445);
+      * a pool entry with zero active tasks stays unfeatured (:468-470);
+      * the LAST featured slot must lift the total active-task count to
+        at least `min_total_tasks`, else the walk skips ahead for a
+        bigger challenge (:461-463);
+      * running out of pool entries raises, like the reference (:472-476).
+
+    Physical shape: the per-challenge active-task counts are ONE
+    distributed aggregate over the (arbitrarily large) task table; the
+    rotation walk itself is driver-side over the collected aggregate,
+    which is bounded by the pool size — config data, not data-scale.
+
+    Returns (error_id, active_tasks, featured, rotation_rank) for every
+    challenge in pool ∪ not_to_be_featured that has tasks (rank = order
+    in which the walk featured it; NULL when unfeatured).
+    """
+    pool = list(featured_pool)
+    universe = pool + [e for e in (not_to_be_featured or []) if e not in pool]
+    spark = tasks.sparkSession
+    counts = (
+        tasks.filter(F.col(error_id_col).isin(universe))
+        .groupBy(F.col(error_id_col).alias("error_id"))
+        .agg(
+            F.sum(
+                F.when(F.lower(F.col(status_col)).isin(*ACTIVE_TASK_STATUSES), 1).otherwise(0)
+            ).alias("active_tasks")
+        )
+    )
+    by_id = {r["error_id"]: int(r["active_tasks"]) for r in counts.collect()}
+
+    featured: dict[str, int] = {}
+    total_featured_tasks = 0
+    marked = 0
+    for error_id in pool:
+        if marked >= n_featured:
+            break
+        if error_id not in by_id:
+            continue  # no challenge for this pool entry (:452-454)
+        active = by_id[error_id]
+        if (
+            marked + 1 == n_featured
+            and total_featured_tasks + active < min_total_tasks
+        ):
+            continue  # last slot must reach the active-task floor (:461-463)
+        if active > 0:
+            marked += 1
+            featured[error_id] = marked
+            total_featured_tasks += active
+    if marked < n_featured:
+        raise ValueError("run out of task to feature")
+
+    rows = [
+        (e, by_id[e], e in featured, featured.get(e))
+        for e in universe
+        if e in by_id
+    ]
+    return spark.createDataFrame(
+        rows, "error_id string, active_tasks long, featured boolean, rotation_rank int"
+    )
+
+
 def prerequisite_still_holds(reports: DataFrame, live_elements: DataFrame,
                              key_cols: list[str] | None = None) -> DataFrame:
     """V4 prerequisite re-check (`maproulette_challenge_creation.py:

@@ -56,11 +56,17 @@ def get_spark(
         # fits in executor memory at target SF.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
-        # default G1GC collapses under 32 concurrent sort/window tasks
-        # on a large heap (measured 4-8× regression at local[32]);
-        # ZGC keeps wide-DOP shuffle stages scaling
-        .config("spark.driver.extraJavaOptions", "-XX:+UseZGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseZGC")
+        # GC choice re-measured round 3 on quiet-box runs: G1 beats ZGC
+        # on BOTH the Arrow-heavy ingest stage (32-wide full pipeline
+        # 14.3 s vs 21.7 s median-of-3 at 1M images — ZGC's load
+        # barriers tax the executor threads that shepherd Python
+        # workers) AND the window/sort headline queries (equal or ~10%
+        # faster across latest_order/topk/minhash/simhash at sf0.1).
+        # The round-1 "G1 collapses under wide sorts" observation did
+        # not reproduce once shuffle moved to tmpfs; if it resurfaces,
+        # flip per-job via extra_conf.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseG1GC")
         .config("spark.ui.enabled", "false")
         # shuffle/spill on tmpfs when available: local-mode shuffles are
         # disk writes on the driver host; a slow /tmp serializes every

@@ -141,3 +141,49 @@ def test_geojson_per_class_task_cap(flagship):
         want = sorted(grp["osm_object_url"])[:2]
         got = sorted(capped.loc[capped["error_id"] == eid, "osm_object_url"])
         assert got == want
+
+
+def test_featured_rotation(spark):
+    """Reproduces the reference's rotation decisions
+    (`maproulette_challenge_creation.py:435-479`) on a fixture task
+    table: pool order wins, zero-active challenges are skipped, and the
+    LAST featured slot must lift the total to >= min_total_tasks."""
+    from osm_wikipedia_tag_validator_spark.operators import reports as R
+
+    def tasks_df(counts):
+        # counts: error_id -> (n_active, n_settled)
+        rows = []
+        for eid, (na, ns) in counts.items():
+            rows += [(eid, "created")] * na + [(eid, "fixed")] * ns
+        return spark.createDataFrame(rows, "error_id string, status string")
+
+    pool = ["a", "b", "c", "d"]
+    # a: 10 active -> featured first. b: 0 active -> skipped. c: 20
+    # active but 10+20 < 50 and it's the last slot -> skipped. d: 45
+    # active, 10+45 >= 50 -> featured second.
+    df = tasks_df({"a": (10, 3), "b": (0, 5), "c": (20, 0), "d": (45, 1), "x": (7, 0)})
+    out = (
+        R.featured_rotation(df, pool, not_to_be_featured=["x"])
+        .toPandas()
+        .set_index("error_id")
+    )
+    assert out.loc["a", "featured"] and out.loc["a", "rotation_rank"] == 1
+    assert out.loc["d", "featured"] and out.loc["d", "rotation_rank"] == 2
+    assert not out.loc["b", "featured"] and not out.loc["c", "featured"]
+    assert not out.loc["x", "featured"]  # not-to-be-featured stays off
+    assert out.loc["c", "active_tasks"] == 20
+
+    # without the floor, c takes the second slot by pool order
+    out2 = (
+        R.featured_rotation(df, pool, min_total_tasks=0)
+        .toPandas()
+        .set_index("error_id")
+    )
+    assert out2.loc["c", "featured"] and out2.loc["c", "rotation_rank"] == 2
+    assert not out2.loc["d", "featured"]
+
+    # pool exhaustion raises, like the reference (:472-476)
+    import pytest
+
+    with pytest.raises(ValueError, match="run out"):
+        R.featured_rotation(tasks_df({"a": (1, 0)}), ["a", "b"])
