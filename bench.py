@@ -215,7 +215,7 @@ def run_default() -> dict:
     }
 
 
-def _scaling_child(cores: int) -> None:
+def _scaling_child(cores: int, reps: int = 1) -> None:
     from osm_wikipedia_tag_validator_spark.session import get_spark
 
     n_elem = int(os.environ.get("SPARK_GRAFT_SCALE_N", "50000"))
@@ -225,17 +225,15 @@ def _scaling_child(cores: int) -> None:
     # more partitions than cores, so EVERY worker slot pays its
     # import/startup cost before the measured run
     run_scaling_job(spark, 2000, 150_000)
-    # median of 3: this sandbox is a shared VM with visible steal time;
-    # single-shot timings swing up to 2×, and min-of-N biases the
-    # faster leg — the median is the honest central tendency
-    runs = sorted(
-        (run_scaling_job(spark, n_elem, n_img) for _ in range(3)),
-        key=lambda r: r["wall_sec"],
-    )
-    out = runs[1]
-    out["leg_walls"] = [round(r["wall_sec"], 2) for r in runs]
-    out["cores"] = cores
-    print("SCALING_RESULT " + json.dumps(out))
+    def steal() -> int:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    for _ in range(reps):
+        s0 = steal()
+        out = run_scaling_job(spark, n_elem, n_img)
+        out["cores"] = cores
+        out["steal_jiffies"] = steal() - s0
+        print("SCALING_RESULT " + json.dumps(out))
 
 
 def _hardware_parallel_ceiling() -> dict:
@@ -291,29 +289,57 @@ def _burn_bw(n: int) -> float:
     return s
 
 
+def _scaling_leg_once(cores: int) -> dict:
+    # taskset pins the WHOLE process tree (JVM + python workers) to
+    # `cores` CPUs. local[N] alone only limits task slots — python
+    # workers and JVM service threads would spill onto all physical
+    # cores and silently inflate the small leg, understating the
+    # true scaling ratio. Pinning emulates an N-core cluster node
+    # honestly.
+    p = subprocess.run(
+        ["taskset", "-c", f"0-{cores - 1}",
+         sys.executable, __file__, "--scaling-child", str(cores)],
+        capture_output=True, text=True, timeout=3000,
+    )
+    line = [l for l in p.stdout.splitlines() if l.startswith("SCALING_RESULT ")]
+    if not line:
+        print(p.stdout[-3000:], file=sys.stderr)
+        print(p.stderr[-3000:], file=sys.stderr)
+        raise RuntimeError(f"scaling child cores={cores} failed")
+    return json.loads(line[-1].removeprefix("SCALING_RESULT "))
+
+
 def run_scaling() -> dict:
-    results = {}
-    for cores in (8, 32):
-        # taskset pins the WHOLE process tree (JVM + python workers) to
-        # `cores` CPUs. local[N] alone only limits task slots — python
-        # workers and JVM service threads would spill onto all physical
-        # cores and silently inflate the small leg, understating the
-        # true scaling ratio. Pinning emulates an N-core cluster node
-        # honestly.
-        p = subprocess.run(
-            ["taskset", "-c", f"0-{cores - 1}",
-             sys.executable, __file__, "--scaling-child", str(cores)],
-            capture_output=True, text=True, timeout=3000,
-        )
-        line = [l for l in p.stdout.splitlines() if l.startswith("SCALING_RESULT ")]
-        if not line:
-            print(p.stdout[-3000:], file=sys.stderr)
-            print(p.stderr[-3000:], file=sys.stderr)
-            raise RuntimeError(f"scaling child cores={cores} failed")
-        results[cores] = json.loads(line[-1].removeprefix("SCALING_RESULT "))
+    # INTERLEAVED legs (8,32, 8,32, 8,32): the co-tenant load on this
+    # shared VM drifts on a minutes scale, and sequential legs sample
+    # DIFFERENT noise windows — run 14 measured its quietest-ever
+    # 8-leg against a co-tenant-saturated 32-leg and reported 0.34
+    # where adjacent windows gave 0.75. Alternating legs makes both
+    # legs sample the same noise distribution; median of 3 per leg as
+    # before (min-of-N would flatter, median is the honest center).
+    legs: dict[int, list[dict]] = {8: [], 32: []}
+    pair_effs: list[float] = []
+    for _rep in range(3):
+        r8 = _scaling_leg_once(8)
+        r32 = _scaling_leg_once(32)
+        legs[8].append(r8)
+        legs[32].append(r32)
+        pair_effs.append((r8["wall_sec"] / r32["wall_sec"]) / 4.0)
+    results = {
+        cores: sorted(rs, key=lambda r: r["wall_sec"])[len(rs) // 2]
+        for cores, rs in legs.items()
+    }
+    for cores, rs in legs.items():
+        results[cores]["leg_walls"] = sorted(round(r["wall_sec"], 2) for r in rs)
+        results[cores]["leg_steal"] = [r.get("steal_jiffies") for r in rs]
     ceiling = _hardware_parallel_ceiling()
     t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
-    eff = (t8 / t32) / 4.0
+    # headline = median of the PAIRED per-rep ratios: each (8,32) pair
+    # runs back-to-back in the same noise window, so the ratio is taken
+    # between comparable conditions; the medians-of-legs ratio (kept as
+    # context) can pair one leg's quiet window with the other's
+    # saturated one on this drifting shared VM
+    eff = sorted(pair_effs)[len(pair_effs) // 2]
     summary = {
         "metric": "scaling_efficiency_local8_vs_local32",
         "value": round(eff, 3),
@@ -322,6 +348,8 @@ def run_scaling() -> dict:
             "scaling_job_local8_sec": round(t8, 2),
             "scaling_job_local32_sec": round(t32, 2),
         },
+        "pair_efficiencies": [round(e, 3) for e in pair_effs],
+        "median_leg_ratio": round((t8 / t32) / 4.0, 3),
         "sf": -1.0,
         "throughput_images_per_sec": {
             "local8": round(results[8]["images_per_sec"], 1),
@@ -331,11 +359,15 @@ def run_scaling() -> dict:
             "local8": results[8].get("leg_walls", []),
             "local32": results[32].get("leg_walls", []),
         },
+        "leg_steal_jiffies": {
+            "local8": results[8].get("leg_steal", []),
+            "local32": results[32].get("leg_steal", []),
+        },
         "hardware_ceiling_8_to_32": ceiling["ceiling_8_to_32"],
         "bandwidth_ceiling_8_to_32": ceiling["bandwidth_ceiling_8_to_32"],
         "n_images": int(os.environ.get("SPARK_GRAFT_SCALE_IMG", "2000000")),
         "ran_at": int(time.time()),
-        "methodology": "median-of-3 per leg, taskset-pinned; raw efficiency is the headline",
+        "methodology": "interleaved (8,32) pairs x3; headline = median of per-pair raw ratios; taskset-pinned, per-leg steal recorded",
     }
     # CONTEXT ONLY, never folded into the criterion: efficiency divided
     # by the smaller concurrent hardware probe. A ratio > 1 means the
@@ -418,16 +450,21 @@ join → exact ray-cast PIP → per-(tile, region) rollup pipeline over
 inside Arrow batches) — runs at two parallelism levels on identical
 input, each leg CPU-PINNED with `taskset` so local[8] really is an
 8-core node (local[N] alone only caps task slots; Python workers would
-spill onto all 32 physical cores and inflate the small leg). Each leg
-reports the MEDIAN of 3 measured runs (shared-VM steal-time noise;
-median, not min, so neither leg is flattered).
+spill onto all 32 physical cores and inflate the small leg). The legs
+are INTERLEAVED (8,32 back-to-back pairs ×3) so each PAIR samples one
+noise window; the headline efficiency is the MEDIAN OF THE PER-PAIR
+RATIOS — sequential legs measured one leg's quiet window against the
+other's saturated one, which is exactly the failure a paired estimator
+removes. Per-leg medians and /proc/stat steal are recorded alongside.
 
-| parallelism | wall (s) | images/sec |
+| parallelism | median wall (s) | images/sec |
 |---|---|---|
 | local[8], pinned 8 CPUs   | {s['queries']['scaling_job_local8_sec']} | {s['throughput_images_per_sec']['local8']} |
 | local[32], pinned 32 CPUs | {s['queries']['scaling_job_local32_sec']} | {s['throughput_images_per_sec']['local32']} |
 
-**Scaling efficiency = (T_8 / T_32) / 4 = {s['value']}** (this run)
+**Scaling efficiency = median of per-pair (T_8/T_32)/4 =
+{s['value']}** (this run; pairs {s.get('pair_efficiencies', '—')},
+medians-of-legs ratio {s.get('median_leg_ratio', '—')})
 
 Context — what this box physically allows, measured alongside each
 run (no Spark, multiprocessing): an 8→32-process ALU burn scales at

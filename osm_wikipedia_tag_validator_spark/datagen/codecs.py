@@ -321,25 +321,41 @@ def _mm_blocks(L: np.ndarray, blocks: np.ndarray, R: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(_mm_core(L, Bt, R).transpose(2, 0, 1))
 
 
+_MM_CHUNK = 4096  # blocks per tile: 8·8·4096·4 B = 1 MB — private-L2-sized
+
+
 def _mm_core(L: np.ndarray, Bt: np.ndarray, R: np.ndarray) -> np.ndarray:
     """(L @ B @ R) over a block-coords-first (8, 8, nb) stack, fixed
-    summation order (see `_mm_blocks`); returns the same layout."""
+    summation order (see `_mm_blocks`); returns the same layout.
+
+    Tiled over the block axis in L2-sized chunks: the two contractions
+    make 16 passes over the stack, and untiled they stream DRAM every
+    pass (~32× the stack size in traffic) — with 32 concurrent workers
+    that saturates the socket's memory bandwidth, which is exactly the
+    axis the 8→32 scaling criterion stresses. Per-element operations
+    and their order are unchanged, so results stay bit-identical."""
+    nb = Bt.shape[2]
     y = np.empty_like(Bt)
-    for i in range(8):
-        bi = Bt[i]
-        for j in range(8):
-            acc = bi[0] * R[0, j]
-            for k in range(1, 8):
-                acc += bi[k] * R[k, j]
-            y[i, j] = acc
-    z = np.empty_like(y)
-    for i in range(8):
-        li = L[i]
-        for j in range(8):
-            acc = y[0, j] * li[0]
-            for k in range(1, 8):
-                acc += y[k, j] * li[k]
-            z[i, j] = acc
+    z = np.empty_like(Bt)
+    for s in range(0, nb, _MM_CHUNK):
+        e = min(s + _MM_CHUNK, nb)
+        b = Bt[:, :, s:e]
+        yt = y[:, :, s:e]
+        zt = z[:, :, s:e]
+        for i in range(8):
+            bi = b[i]
+            for j in range(8):
+                acc = bi[0] * R[0, j]
+                for k in range(1, 8):
+                    acc += bi[k] * R[k, j]
+                yt[i, j] = acc
+        for i in range(8):
+            li = L[i]
+            for j in range(8):
+                acc = yt[0, j] * li[0]
+                for k in range(1, 8):
+                    acc += yt[k, j] * li[k]
+                zt[i, j] = acc
     return z
 
 
