@@ -256,8 +256,11 @@ def png_encode_batch(imgs: np.ndarray) -> list[bytes]:
 
 def fake_jpeg_encode_batch(imgs: np.ndarray, q: int = FAKE_JPEG_Q) -> tuple[list[bytes], np.ndarray]:
     """Batched fake-jpeg: quantize the whole stack in one op; returns
-    (bytes per image, decoded stack) — decoded IS the quantized plane."""
-    quant = ((np.asarray(imgs, dtype=np.int32) // q) * q).astype(np.uint8)
+    (bytes per image, decoded stack) — decoded IS the quantized plane.
+    Quantization stays in uint8 (v//q·q ≤ 255 can't overflow), identical
+    values to the per-image int32 path at a quarter of the traffic."""
+    imgs = np.asarray(imgs, dtype=np.uint8)
+    quant = (imgs // np.uint8(q)) * np.uint8(q)
     head = _FJPG_MAGIC + struct.pack(">B", q)
     return [head + p for p in png_encode_batch(quant)], quant
 
@@ -278,11 +281,12 @@ def dct8_encode_batch(imgs: np.ndarray, quality: int = 95) -> tuple[list[bytes],
             dec.append(dct8_decode(data))
         return out, np.stack(dec)
     q = _quant_table(quality)
-    x = imgs.astype(np.float32) - np.float32(128.0)
     # block-coords-FIRST layout (8, 8, nblocks): one strided gather up
-    # front, then every transform op streams contiguous nb-long vectors
+    # front, then every transform op streams contiguous nb-long
+    # vectors. Gathered as uint8 (4× less traffic than a float stack);
+    # _mm_core converts + level-shifts per L2-sized tile.
     Bt = np.ascontiguousarray(
-        x.reshape(n, h // 8, 8, w // 8, 8, 3)
+        imgs.reshape(n, h // 8, 8, w // 8, 8, 3)
         .transpose(2, 4, 0, 1, 3, 5)
         .reshape(8, 8, -1)
     )
@@ -327,6 +331,9 @@ _MM_CHUNK = 4096  # blocks per tile: 8·8·4096·4 B = 1 MB — private-L2-sized
 def _mm_core(L: np.ndarray, Bt: np.ndarray, R: np.ndarray) -> np.ndarray:
     """(L @ B @ R) over a block-coords-first (8, 8, nb) stack, fixed
     summation order (see `_mm_blocks`); returns the same layout.
+    A uint8 input stack means "pixel blocks": converted to f32 and
+    JPEG-level-shifted (−128) tile-by-tile; f32 input (the inverse
+    transform's scaled coefficients) passes through unshifted.
 
     Tiled over the block axis in L2-sized chunks: the two contractions
     make 16 passes over the stack, and untiled they stream DRAM every
@@ -335,28 +342,36 @@ def _mm_core(L: np.ndarray, Bt: np.ndarray, R: np.ndarray) -> np.ndarray:
     axis the 8→32 scaling criterion stresses. Per-element operations
     and their order are unchanged, so results stay bit-identical."""
     nb = Bt.shape[2]
-    y = np.empty_like(Bt)
-    z = np.empty_like(Bt)
+    z = np.empty((8, 8, nb), dtype=np.float32)
+    yt = np.empty((8, 8, min(_MM_CHUNK, nb)), dtype=np.float32)
     for s in range(0, nb, _MM_CHUNK):
         e = min(s + _MM_CHUNK, nb)
         b = Bt[:, :, s:e]
-        yt = y[:, :, s:e]
-        zt = z[:, :, s:e]
-        for i in range(8):
-            bi = b[i]
-            for j in range(8):
-                acc = bi[0] * R[0, j]
-                for k in range(1, 8):
-                    acc += bi[k] * R[k, j]
-                yt[i, j] = acc
-        for i in range(8):
-            li = L[i]
-            for j in range(8):
-                acc = yt[0, j] * li[0]
-                for k in range(1, 8):
-                    acc += yt[k, j] * li[k]
-                zt[i, j] = acc
+        if b.dtype != np.float32:
+            # uint8 fast path: convert + level-shift per TILE so the
+            # float stack never exists at full size (4× less traffic);
+            # values equal the precomputed-f32 path bit-for-bit
+            b = b.astype(np.float32)
+            b -= np.float32(128.0)
+        _mm_tile(L, b, R, yt[:, :, : e - s], z[:, :, s:e])
     return z
+
+
+def _mm_tile(L: np.ndarray, b: np.ndarray, R: np.ndarray, yt: np.ndarray, zt: np.ndarray) -> None:
+    for i in range(8):
+        bi = b[i]
+        for j in range(8):
+            acc = bi[0] * R[0, j]
+            for k in range(1, 8):
+                acc += bi[k] * R[k, j]
+            yt[i, j] = acc
+    for i in range(8):
+        li = L[i]
+        for j in range(8):
+            acc = yt[0, j] * li[0]
+            for k in range(1, 8):
+                acc += yt[k, j] * li[k]
+            zt[i, j] = acc
 
 
 def encode_image_ex(img: np.ndarray, fmt: str) -> tuple[bytes, np.ndarray]:
