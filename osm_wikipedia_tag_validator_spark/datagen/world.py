@@ -62,6 +62,34 @@ WIKI_KEYS = [
     "name:etymology:wikidata",
 ]
 
+# secondary-key prefixes exercised by datagen — a sample spanning every
+# routing tier of `error_catalog.PREFIXED_VARIANTS` (review / tests /
+# ignored, plus obvious via the follow-redirect variants)
+PREFIX_SAMPLE = [
+    "architect", "artist", "operator", "species", "subject", "taxon",  # review
+    "sculptor", "bridge", "network:2", "artwork_subject",  # tests
+    "brand", "related", "object", "organ", "disused:operator",  # ignored
+    "healthcare:speciality",  # ignored
+]
+
+# wikidata instance-of classes datagen assigns — covers a slice of
+# every `error_catalog.SECONDARY_TARGETS` tier (key = phrase minus its
+# leading article, `error_catalog.instance_key`); 'place'/'generic'
+# draw no secondary-class complaint
+CLASS_POOL = [
+    # review tier (legacy short keys first — aliases in the validator)
+    "human", "brand", "battle", "given name", "taxon", "event",
+    "film", "profession", "website", "sport", "human language",
+    "chain store", "podcast",
+    # tests tier
+    "science", "belief", "human behavior", "form of art",
+    "aircraft crash", "signage", "lost work", "superstitution",
+    "emergency service", "volunteer", "television station",
+    # ignored tier
+    "festival", "radio station", "genre", "research", "art genre",
+    "social movement",
+]
+
 N_ENTITIES = 2000
 
 def gen_error_catalog() -> pd.DataFrame:
@@ -229,6 +257,19 @@ def gen_elements_batch(ids: np.ndarray) -> pd.DataFrame:
 
     langs = np.array(LANGS, dtype=object)[lang_idx]
     keys = np.array(WIKI_KEYS, dtype=object)[key_idx]
+    # ~15% of wiki-tagged elements carry a PREFIXED pair
+    # (`<prefix>:wikipedia` / `<prefix>:wikidata`) instead of plain
+    # keys — exercises the reference's "- for {prefix} prefixed tags"
+    # generated id families across all routing tiers
+    prefixed = u01(hash2(h, 21)) < 0.15
+    prefix_idx = (u01(hash2(h, 22)) * len(PREFIX_SAMPLE)).astype(np.int64)
+    prefixes = np.array(PREFIX_SAMPLE, dtype=object)[prefix_idx]
+    # ~6% carry an extra out-of-pair secondary wikidata key on top of a
+    # plain pair (checked for malformed shape / 404 only)
+    extra_sec = u01(hash2(h, 23)) < 0.06
+    extra_idx = (u01(hash2(h, 24)) * len(PREFIX_SAMPLE)).astype(np.int64)
+    extra_prefixes = np.array(PREFIX_SAMPLE, dtype=object)[extra_idx]
+    extra_bad = u01(hash2(h, 25))
 
     def tag_rows(gen: int):
         rows = []
@@ -236,6 +277,11 @@ def gen_elements_batch(ids: np.ndarray) -> pd.DataFrame:
             tags = {"name": f"Feature {int(ids[i])}"}
             if wiki_tagged[i]:
                 k = keys[i]
+                wd_key = "wikidata"
+                if prefixed[i] and not old_style[i]:
+                    p = prefixes[i]
+                    k = f"{p}:wikidata" if "wikidata" in k else f"{p}:wikipedia"
+                    wd_key = f"{p}:wikidata"
                 e = int(ent[i]) if gen == 0 else (int(ent[i]) + 1) % N_ENTITIES
                 if old_style[i]:
                     # reference 'invalid old-style wikipedia tag':
@@ -254,7 +300,11 @@ def gen_elements_batch(ids: np.ndarray) -> pd.DataFrame:
                     tags[k] = val
                 if both_tags[i] and not old_style[i] and "wikidata" not in k:
                     e2 = e if not mismatch[i] else (e + 7) % N_ENTITIES
-                    tags["wikidata"] = f"Q{e2}"
+                    tags[wd_key] = f"Q{e2}"
+                if extra_sec[i] and not prefixed[i] and not old_style[i]:
+                    e3 = (int(ent[i]) + 3) % N_ENTITIES
+                    sec_val = f"Q{e3}" if extra_bad[i] > 0.3 else f"bad-{e3}"
+                    tags[f"{extra_prefixes[i]}:wikidata"] = sec_val
             rows.append(tags)
         return rows
 
@@ -310,20 +360,18 @@ def gen_wiki_entities(n: int = N_ENTITIES) -> pd.DataFrame:
     disambig = (~redirect) & (u01(hash2(h, 3)) < 0.05)
     exists = u01(hash2(h, 4)) >= 0.08
     inst_r = u01(hash2(h, 5))
-    # class spread covers every secondary-class phrase the validator
-    # routes — review classes (SECONDARY_CLASS_PHRASES) AND the
-    # tests-quarantine slice (SECONDARY_CLASS_PHRASES_TESTS) — plus
-    # place/generic (no error)
+    # class spread covers a slice of every secondary-class routing tier
+    # (CLASS_POOL, keyed per `error_catalog.instance_key` /
+    # LEGACY_INSTANCE_ALIASES) plus place/generic (no error). First 36%
+    # spreads uniformly over the pool; heavier mass on the first two
+    # legacy classes keeps the historical human/brand share.
+    pool_idx = np.minimum(
+        (inst_r / 0.36 * len(CLASS_POOL)).astype(np.int64), len(CLASS_POOL) - 1
+    )
     instance_of = np.select(
-        [inst_r < 0.08, inst_r < 0.14, inst_r < 0.17, inst_r < 0.20,
-         inst_r < 0.23, inst_r < 0.26,
-         inst_r < 0.28, inst_r < 0.30, inst_r < 0.315, inst_r < 0.33,
-         inst_r < 0.34, inst_r < 0.35,
-         inst_r < 0.7],
-        ["human", "brand", "battle", "given name", "taxon", "event",
-         "science", "belief", "human behavior", "form of art",
-         "aircraft crash", "signage",
-         "place"],
+        [inst_r < 0.06, inst_r < 0.11, inst_r < 0.36, inst_r < 0.7],
+        ["human", "brand",
+         np.array(CLASS_POOL, dtype=object)[pool_idx], "place"],
         default="generic",
     ).astype(object)
     lon = _quantize(WORLD["lon_min"] + u01(hash2(h, 6)) * (WORLD["lon_max"] - WORLD["lon_min"]))

@@ -245,6 +245,80 @@ def featured_rotation(
     )
 
 
+# task statuses that keep a live task visible to mappers
+# (`maproulette_challenge_creation.py:694-710`
+# is_live_task_shown_to_people): created / false-positive / skipped /
+# too-hard stay on the map; fixed / already-fixed / disabled do not,
+# deleted rows are skipped outright (:635-636)
+LIVE_SHOWN_STATUSES = ("created", "false_positive", "skipped", "too_hard")
+# statuses a human must look at before the bot touches the task
+# (:655-662: false positive / too hard → require_manual_investigation)
+MANUAL_REVIEW_STATUSES = ("false_positive", "too_hard")
+
+
+def challenge_sync_plan(
+    candidates: DataFrame,
+    challenges: DataFrame,
+    mr_tasks: DataFrame,
+) -> DataFrame:
+    """Challenge create/update orchestration as ONE declarative action
+    plan (`maproulette_challenge_creation.py:569-624`
+    update_or_create_challenge_based_on_error_id + :626-668 task-state
+    walk). The reference loops challenges and tasks row-by-row over
+    HTTP; here the same decisions come out of one full-outer join plus
+    a tiny anti-join, as an action table a thin actuator can replay:
+
+      create_challenge — error class has ≥1 candidate task but no
+                         challenge yet (:571-586; zero-candidate
+                         classes are skipped, :574-576)
+      add_task         — candidate url not present among the class's
+                         non-deleted tasks (:670-690 skip-if-present)
+      delete_task      — live-shown task whose report no longer exists
+                         (:642-644 delete_task_if_not_locked)
+      flag_manual      — candidate task sitting in false-positive /
+                         too-hard (:655-662)
+
+    Inputs: candidates (error_id, osm_object_url), challenges
+    (error_id[, challenge_id]) — a config-sized dim, mr_tasks
+    (error_id, osm_object_url, status).
+
+    Scale shape: one shuffle of tasks and candidates on
+    (error_id, osm_object_url) for the full join; the challenge dim is
+    broadcast for the anti-join. No driver-side iteration.
+    """
+    cand = candidates.select("error_id", "osm_object_url").dropDuplicates()
+    live = mr_tasks.filter(F.lower(F.col("status")) != "deleted").select(
+        "error_id", "osm_object_url", F.lower(F.col("status")).alias("status")
+    )
+    full = live.join(
+        cand.withColumn("_is_cand", F.lit(True)),
+        ["error_id", "osm_object_url"],
+        "full",
+    )
+    is_cand = F.coalesce("_is_cand", F.lit(False))
+    action = (
+        F.when(~is_cand & F.col("status").isin(*LIVE_SHOWN_STATUSES), "delete_task")
+        .when(is_cand & F.col("status").isNull(), "add_task")
+        .when(is_cand & F.col("status").isin(*MANUAL_REVIEW_STATUSES), "flag_manual")
+    )
+    task_actions = (
+        full.withColumn("action", action)
+        .filter(F.col("action").isNotNull())
+        .select("action", "error_id", "osm_object_url")
+    )
+    to_create = (
+        cand.select("error_id")
+        .distinct()
+        .join(F.broadcast(challenges.select("error_id")), "error_id", "left_anti")
+        .select(
+            F.lit("create_challenge").alias("action"),
+            "error_id",
+            F.lit(None).cast("string").alias("osm_object_url"),
+        )
+    )
+    return task_actions.unionByName(to_create)
+
+
 def prerequisite_still_holds(reports: DataFrame, live_elements: DataFrame,
                              key_cols: list[str] | None = None) -> DataFrame:
     """V4 prerequisite re-check (`maproulette_challenge_creation.py:

@@ -38,6 +38,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .error_catalog import (
+    CATEGORY_ORDER,
+    PREFIXED_VARIANTS,
+    SECONDARY_TARGETS,
+    SINGLETON_IDS,
+    phrase_tables,
+)
+
+# kept for callers/tests that reason about the canonical plain keys;
+# extraction itself is DYNAMIC over any `<prefix>:wikipedia` /
+# `<prefix>:wikidata` key (reference iterates all tag keys)
 PRIMARY_WIKIPEDIA_KEYS = ["wikipedia", "brand:wikipedia"]
 SECONDARY_WIKIDATA_KEYS = ["subject:wikidata", "name:etymology:wikidata"]
 
@@ -48,31 +59,13 @@ REPORT_SCHEMA = (
     "osm_object_url:string>"
 )
 
-# instance-of class → the article-class phrase used in the generated
-# error id, reference format `generate_webpage_with_error_output.py:
-# 345-420` ("should use a secondary wikipedia tag - linking from
-# <from_tags> tag to <phrase>")
-SECONDARY_CLASS_PHRASES = {
-    "human": "a human",
-    "brand": "a brand",
-    "battle": "a battle",
-    "given name": "a given name",
-    "taxon": "an animal or plant (and not an individual one)",
-    "event": "a historical event",
-}
-
-# experimental secondary classes the reference quarantines to the tests
-# page (`generate_webpage_with_error_output.py:542-670` — same id
-# format, routed to `for_tests` instead of `for_review`); a
-# representative slice of those families
-SECONDARY_CLASS_PHRASES_TESTS = {
-    "aircraft crash": "an aircraft crash",
-    "signage": "a signage",
-    "science": "a science",
-    "human behavior": "a human behavior",
-    "belief": "a belief",
-    "form of art": "a form of art",
-}
+# instance-of class → article-class phrase used in the generated error
+# id ("should use a secondary wikipedia tag - linking from <from_tags>
+# tag to <phrase>", reference `generate_webpage_with_error_output.py:
+# 345-420`), and phrase → routing category. The FULL reference
+# inventory (132 classes across review/tests/ignored) lives as data in
+# `error_catalog.py`.
+SECONDARY_CLASS_PHRASES, SECONDARY_CLASS_CATEGORY = phrase_tables()
 
 # language-preference machinery (reference detector ctor
 # `script.py:350-358`: `expected_language_code` +
@@ -93,12 +86,19 @@ LANG_CODE_REDIRECTS = {
 
 _FROM_TAGS = ["wikipedia and wikidata", "wikipedia", "wikidata"]
 
-# secondary-key prefixes (reference: "malformed secondary wikipedia tag
-# - for {prefix} prefixed tags", `generate_webpage…py:437-455,500-530`)
-_SECONDARY_WP_PREFIXES = [
-    k.removesuffix(":wikipedia") for k in PRIMARY_WIKIPEDIA_KEYS if k != "wikipedia"
-]
-_SECONDARY_WD_PREFIXES = [k.removesuffix(":wikidata") for k in SECONDARY_WIKIDATA_KEYS]
+# prefixed-variant stem → cascade family (the six generated id shapes
+# of `error_catalog.PREFIXED_VARIANTS`)
+_VARIANT_FAMILY = {
+    "malformed secondary wikipedia tag": "malformed_secondary_wikipedia",
+    "malformed secondary wikidata tag": "malformed_secondary_wikidata",
+    "wikipedia wikidata mismatch": "mismatch",
+    "wikipedia wikidata mismatch - follow wikipedia redirect":
+        "mismatch_follow_wikipedia_redirect",
+    "wikipedia wikidata mismatch - follow wikidata redirect":
+        "mismatch_follow_wikidata_redirect",
+    "wikipedia wikidata mismatch - wikipedia points to disambiguation page and wikidata does not":
+        "mismatch_wp_disambig",
+}
 
 # ---------------------------------------------------------------------------
 # The routing catalog — single source for cascade order AND category
@@ -122,30 +122,38 @@ RULE_PRIORITIES: dict[str, int] = {
     "secondary_wikidata_404": 9,
     "mismatch_follow_wikipedia_redirect": 10,
     "mismatch_follow_wikidata_redirect": 11,
-    "mismatch": 12,
-    "wikidata_redirect": 13,
-    "wikipedia_redirect": 14,
-    "wikipedia_disambig": 15,
-    "secondary_class": 16,
+    # the disambig-refined mismatch diagnosis outranks the generic one
+    "mismatch_wp_disambig": 12,
+    "mismatch": 13,
+    "wikidata_redirect": 14,
+    "wikipedia_redirect": 15,
+    "wikipedia_disambig": 16,
+    "secondary_class": 17,
     # the fixable refinement outranks the generic wrong-language id
-    "wrong_language_fixable": 17,
-    "wrong_language": 18,
+    "wrong_language_fixable": 18,
+    "wrong_language": 19,
     # tag-completion families (reference obvious_fixes 'wikidata from
     # wikipedia tag' / 'wikipedia from wikidata tag[, unexpected
     # language]') — gated by classify(request_missing_tags=...)
-    "wikidata_from_wikipedia": 19,
-    "wikipedia_from_wikidata": 20,
-    "wikipedia_from_wikidata_lang": 21,
-    "outside_region": 22,
+    "wikidata_from_wikipedia": 20,
+    "wikipedia_from_wikidata": 21,
+    "wikipedia_from_wikidata_lang": 22,
+    "outside_region": 23,
 }
+
+# best-effort family for singleton catalog ids the cascade does not
+# (yet) emit — they still need routing rows (reference renders/skips
+# them; note_unused_errors checks membership, not emittability)
+_SINGLETON_PRIORITY = 99
 
 
 def catalog_rows() -> list[tuple[str, str, int, str]]:
-    """(error_id, category, priority, family) — every concrete error id
-    the cascade can emit, generated like the reference's list builders.
-    Category semantics: obvious = bot-fixable with a proposed change,
-    review = human page, tests = experimental page, ignored = never
-    rendered (`generate_webpage_with_error_output.py:277-1081`)."""
+    """(error_id, category, priority, family) — the engine's full error
+    inventory, generated from `error_catalog.py`'s data tables exactly
+    like the reference's programmatic list builders. Category
+    semantics: obvious = bot-fixable with a proposed change, review =
+    human page, tests = experimental page, ignored = never rendered
+    (`generate_webpage_with_error_output.py:277-1081`)."""
     P = RULE_PRIORITIES
     rows: list[tuple[str, str, int, str]] = [
         ("malformed wikipedia tag", "review", P["malformed_wikipedia"], "malformed_wikipedia"),
@@ -158,10 +166,14 @@ def catalog_rows() -> list[tuple[str, str, int, str]]:
          P["mismatch_follow_wikipedia_redirect"], "mismatch_follow_wikipedia_redirect"),
         ("wikipedia wikidata mismatch - follow wikidata redirect", "obvious",
          P["mismatch_follow_wikidata_redirect"], "mismatch_follow_wikidata_redirect"),
+        ("wikipedia wikidata mismatch - wikipedia points to disambiguation page and wikidata does not",
+         "review", P["mismatch_wp_disambig"], "mismatch_wp_disambig"),
         ("wikipedia wikidata mismatch", "review", P["mismatch"], "mismatch"),
         ("wikidata tag links to a redirect", "obvious", P["wikidata_redirect"], "wikidata_redirect"),
         ("wikipedia tag links to a redirect", "obvious", P["wikipedia_redirect"], "wikipedia_redirect"),
-        ("wikipedia tag links to a disambiguation page", "tests", P["wikipedia_disambig"], "wikipedia_disambig"),
+        # reference id for the disambiguation complaint
+        # (`generate_webpage_with_error_output.py:412`, for_review)
+        ("link to a disambiguation page", "review", P["wikipedia_disambig"], "wikipedia_disambig"),
         ("malformed wikipedia tag - nonexisting language code", "review",
          P["nonexisting_lang_code"], "nonexisting_lang_code"),
         ("wikipedia tag using redirecting language code", "obvious",
@@ -177,46 +189,101 @@ def catalog_rows() -> list[tuple[str, str, int, str]]:
          P["wikipedia_from_wikidata_lang"], "wikipedia_from_wikidata_lang"),
         ("element outside declared region", "review", P["outside_region"], "outside_region"),
         # routed-but-never-rendered class (reference `ignored()` list)
-        ("wikipedia tag in outdated form", "ignored", 99, "legacy"),
+        ("wikipedia tag in outdated form", "ignored", _SINGLETON_PRIORITY, "legacy"),
     ]
-    for from_tags in _FROM_TAGS:
-        for phrase in SECONDARY_CLASS_PHRASES_TESTS.values():
-            rows.append((
-                f"should use a secondary wikipedia tag - linking from {from_tags} tag to {phrase}",
-                "tests", P["secondary_class"], "secondary_class",
-            ))
-    for pfx in _SECONDARY_WP_PREFIXES:
-        rows.append((
-            f"malformed secondary wikipedia tag - for {pfx} prefixed tags",
-            "review", P["malformed_secondary_wikipedia"], "malformed_secondary_wikipedia",
-        ))
-    for pfx in _SECONDARY_WD_PREFIXES:
-        rows.append((
-            f"malformed secondary wikidata tag - for {pfx} prefixed tags",
-            "review", P["malformed_secondary_wikidata"], "malformed_secondary_wikidata",
-        ))
-    for from_tags in _FROM_TAGS:
-        for phrase in SECONDARY_CLASS_PHRASES.values():
-            rows.append((
-                f"should use a secondary wikipedia tag - linking from {from_tags} tag to {phrase}",
-                "review", P["secondary_class"], "secondary_class",
-            ))
+    seen = {r[0] for r in rows}
+
+    def add(error_id: str, category: str, priority: int, family: str) -> None:
+        if error_id not in seen:
+            seen.add(error_id)
+            rows.append((error_id, category, priority, family))
+
+    # shape 1: secondary-class x from-tags cross product
+    for category in CATEGORY_ORDER:
+        for phrase in SECONDARY_TARGETS.get(category, ()):
+            for from_tags in _FROM_TAGS:
+                add(
+                    f"should use a secondary wikipedia tag - linking from {from_tags} tag to {phrase}",
+                    category, P["secondary_class"], "secondary_class",
+                )
+    # shape 2: prefixed variants (category per (variant, prefix),
+    # exactly the reference's per-list membership)
+    for stem, family in _VARIANT_FAMILY.items():
+        for category in CATEGORY_ORDER:
+            for pfx in PREFIXED_VARIANTS.get(stem, {}).get(category, ()):
+                add(f"{stem} - for {pfx} prefixed tags", category, P[family], family)
+    # shape 3: remaining singleton ids (routed; a documented subset is
+    # cascade-emittable today)
+    for category in CATEGORY_ORDER:
+        for error_id in SINGLETON_IDS.get(category, ()):
+            add(error_id, category, _SINGLETON_PRIORITY, "singleton")
     return rows
 
 
 def extract_wiki_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
-    """Pull the wikipedia/wikidata payloads out of the tag map.
+    """Pull the wikipedia/wikidata payloads out of the tag map,
+    PAIR-COHERENTLY.
 
-    Mirrors the relevance filter's substring semantics
-    (`load_osm_file.py:17-21`): any key containing 'wikipedia' or
-    'wikidata' makes the element relevant; the canonical keys above are
-    the ones validated. Also captures WHICH key supplied each payload
-    (primary vs secondary routing needs it) and any old-style
-    `wikipedia:<lang>` key (reference 'invalid old-style wikipedia
-    tag').
+    The reference validates tag FAMILIES: the plain `wikipedia` /
+    `wikidata` pair, and each `<prefix>:wikipedia` /
+    `<prefix>:wikidata` pair, independently — it never compares, say,
+    a plain wikipedia article against `subject:wikidata`
+    (`script.py:318-347` iterates key families). Here the validated
+    pair is the plain one when either plain key is present, else the
+    lexicographically first prefix present (one complaint per row —
+    "most important problem" semantics); remaining prefixed keys
+    surface as `sec_*` columns checked for malformed / 404 only.
+
+    Emitted columns:
+      wikipedia_tag / wikidata_tag      the validated pair's payloads
+      used_primary_wikipedia_key /
+      used_wikidata_key                 which key supplied each payload
+      pair_prefix                       '' = plain pair, else the prefix
+                                        (drives the reference's
+                                        "- for {prefix} prefixed tags"
+                                        generated ids); NULL = no
+                                        wikipedia/wikidata keys at all
+      sec_wikipedia_key/-value,
+      sec_wikidata_key/-value           first prefixed key OUTSIDE the
+                                        validated pair (plain pair only)
+      old_style_wikipedia_key/-value    `wikipedia:<lang>` (invalid old
+                                        form)
+      wikipedia_lang/-article           split of the pair's wp payload
     """
     t = F.col(tags_col)
-    wp = F.coalesce(*[t.getItem(k) for k in PRIMARY_WIKIPEDIA_KEYS])
+    keys = F.map_keys(t)
+    wp_pref_keys = F.array_sort(F.filter(keys, lambda k: k.rlike("^.+:wikipedia$")))
+    wd_pref_keys = F.array_sort(F.filter(keys, lambda k: k.rlike("^.+:wikidata$")))
+    plain_wp = t.getItem("wikipedia")
+    plain_wd = t.getItem("wikidata")
+    has_plain = plain_wp.isNotNull() | plain_wd.isNotNull()
+    all_prefixes = F.array_sort(
+        F.array_union(
+            F.transform(wp_pref_keys, lambda k: F.regexp_replace(k, ":wikipedia$", "")),
+            F.transform(wd_pref_keys, lambda k: F.regexp_replace(k, ":wikidata$", "")),
+        )
+    )
+    pair_prefix = F.when(has_plain, F.lit("")).otherwise(F.get(all_prefixes, 0))
+    wp = F.when(pair_prefix == "", plain_wp).otherwise(
+        F.try_element_at(t, F.concat(pair_prefix, F.lit(":wikipedia")))
+    )
+    wd = F.when(pair_prefix == "", plain_wd).otherwise(
+        F.try_element_at(t, F.concat(pair_prefix, F.lit(":wikidata")))
+    )
+    wp_key = F.when(
+        wp.isNotNull(),
+        F.when(pair_prefix == "", F.lit("wikipedia")).otherwise(
+            F.concat(pair_prefix, F.lit(":wikipedia"))
+        ),
+    )
+    wd_key = F.when(
+        wd.isNotNull(),
+        F.when(pair_prefix == "", F.lit("wikidata")).otherwise(
+            F.concat(pair_prefix, F.lit(":wikidata"))
+        ),
+    )
+    sec_wp_key = F.when(pair_prefix == "", F.get(wp_pref_keys, 0))
+    sec_wd_key = F.when(pair_prefix == "", F.get(wd_pref_keys, 0))
     old_keys = F.filter(
         F.map_keys(t), lambda k: k.rlike("^wikipedia:[a-z]{2,3}$")
     )
@@ -227,16 +294,14 @@ def extract_wiki_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
     return df.select(
         "*",
         wp.alias("wikipedia_tag"),
-        F.coalesce(
-            t.getItem("wikidata"), *[t.getItem(k) for k in SECONDARY_WIKIDATA_KEYS]
-        ).alias("wikidata_tag"),
-        F.coalesce(
-            *[F.when(t.getItem(k).isNotNull(), F.lit(k)) for k in PRIMARY_WIKIPEDIA_KEYS]
-        ).alias("used_primary_wikipedia_key"),
-        F.coalesce(
-            F.when(t.getItem("wikidata").isNotNull(), F.lit("wikidata")),
-            *[F.when(t.getItem(k).isNotNull(), F.lit(k)) for k in SECONDARY_WIKIDATA_KEYS],
-        ).alias("used_wikidata_key"),
+        wd.alias("wikidata_tag"),
+        wp_key.alias("used_primary_wikipedia_key"),
+        wd_key.alias("used_wikidata_key"),
+        pair_prefix.alias("pair_prefix"),
+        sec_wp_key.alias("sec_wikipedia_key"),
+        F.try_element_at(t, sec_wp_key).alias("sec_wikipedia_value"),
+        sec_wd_key.alias("sec_wikidata_key"),
+        F.try_element_at(t, sec_wd_key).alias("sec_wikidata_value"),
         old_key.alias("old_style_wikipedia_key"),
         F.when(old_key.isNotNull(), t.getItem(old_key)).alias("old_style_wikipedia_value"),
         F.get(F.split(wp, ":", 2), 0).alias("wikipedia_lang"),
@@ -285,16 +350,26 @@ def join_wiki_entities(elements: DataFrame, wiki: DataFrame) -> DataFrame:
             F.col("article").alias("wp_redirect_article"),
         )
     )
+    # secondary-wikidata existence (reference 'secondary wikidata tag
+    # links to 404' checks prefixed wikidata keys OUTSIDE the validated
+    # pair too)
+    sec = F.broadcast(
+        wiki.select(
+            F.col("qid").alias("sec_wikidata_value"),
+            F.col("exists").alias("sec_wd_exists"),
+        )
+    )
     return (
         elements.join(wp, "wikipedia_tag", "left")
         .join(wd, "wikidata_tag", "left")
         .join(redir, "wp_redirect_to", "left")
+        .join(sec, "sec_wikidata_value", "left")
     )
 
 
 def _phrase_map_col() -> Column:
     kv: list[Column] = []
-    for inst, phrase in {**SECONDARY_CLASS_PHRASES, **SECONDARY_CLASS_PHRASES_TESTS}.items():
+    for inst, phrase in SECONDARY_CLASS_PHRASES.items():
         kv.extend([F.lit(inst), F.lit(phrase)])
     return F.create_map(*kv)
 
@@ -321,10 +396,28 @@ def build_rules(
     has_wd = wd.isNotNull()
     used_wp = F.col("used_primary_wikipedia_key")
     used_wd = F.col("used_wikidata_key")
+    pair_prefix = F.col("pair_prefix")
+    pair_prefixed = F.coalesce(pair_prefix != "", F.lit(False))
+    # the reference's generated "- for {prefix} prefixed tags" id
+    # suffix (`error_catalog.PREFIXED_VARIANTS`), empty for the plain
+    # pair
+    pfx_sfx = F.when(
+        pair_prefixed, F.concat(F.lit(" - for "), pair_prefix, F.lit(" prefixed tags"))
+    ).otherwise(F.lit(""))
     wp_primary = used_wp == "wikipedia"
     wd_plain = used_wd == "wikidata"
     wp_malformed = has_wp & ~wp.rlike("^[a-z]{2,3}:.+")
     wd_malformed = has_wd & ~wd.rlike("^Q[0-9]+$")
+    # prefixed keys outside the validated pair: shape + existence checks
+    sec_wp_val = F.col("sec_wikipedia_value")
+    sec_wd_val = F.col("sec_wikidata_value")
+    sec_wp_malformed = sec_wp_val.isNotNull() & ~sec_wp_val.rlike("^[a-z]{2,3}:.+")
+    sec_wd_malformed = sec_wd_val.isNotNull() & ~sec_wd_val.rlike("^Q[0-9]+$")
+    sec_wd_404 = (
+        sec_wd_val.isNotNull()
+        & ~sec_wd_malformed
+        & (F.col("sec_wd_exists").isNull() | ~F.col("sec_wd_exists"))
+    )
     wp_404 = has_wp & ~wp_malformed & (F.col("wp_qid").isNull() | ~F.col("wp_exists"))
     wd_404 = has_wd & ~wd_malformed & (F.col("wd_exists").isNull() | ~F.col("wd_exists"))
     mismatch = (
@@ -381,22 +474,30 @@ def build_rules(
     def _lit(s: str) -> Column:
         return F.lit(s)
 
+    # which prefixed key carries a malformed payload — the validated
+    # pair's (prefixed pair) or the out-of-pair secondary key
+    msw_key = F.when(wp_malformed & pair_prefixed, used_wp).otherwise(
+        F.when(sec_wp_malformed, F.col("sec_wikipedia_key"))
+    )
+    msd_key = F.when(wd_malformed & pair_prefixed, used_wd).otherwise(
+        F.when(sec_wd_malformed, F.col("sec_wikidata_key"))
+    )
     rules: dict[str, tuple[Column, Column]] = {
         "malformed_wikipedia": (wp_malformed & wp_primary, _lit("malformed wikipedia tag")),
         "malformed_secondary_wikipedia": (
-            wp_malformed & ~wp_primary,
+            msw_key.isNotNull(),
             F.concat(
                 F.lit("malformed secondary wikipedia tag - for "),
-                F.regexp_replace(used_wp, ":wikipedia$", ""),
+                F.regexp_replace(msw_key, ":wikipedia$", ""),
                 F.lit(" prefixed tags"),
             ),
         ),
         "malformed_wikidata": (wd_malformed & wd_plain, _lit("malformed wikidata tag")),
         "malformed_secondary_wikidata": (
-            wd_malformed & ~wd_plain,
+            msd_key.isNotNull(),
             F.concat(
                 F.lit("malformed secondary wikidata tag - for "),
-                F.regexp_replace(used_wd, ":wikidata$", ""),
+                F.regexp_replace(msd_key, ":wikidata$", ""),
                 F.lit(" prefixed tags"),
             ),
         ),
@@ -407,21 +508,44 @@ def build_rules(
         "wikipedia_404": (wp_404, _lit("wikipedia tag links to 404")),
         "wikidata_404": (wd_404 & wd_plain, _lit("wikidata tag links to 404")),
         "secondary_wikidata_404": (
-            wd_404 & ~wd_plain, _lit("secondary wikidata tag links to 404")
+            (wd_404 & ~wd_plain) | sec_wd_404,
+            _lit("secondary wikidata tag links to 404"),
         ),
         "mismatch_follow_wikipedia_redirect": (
             mismatch & F.col("wp_redirect_to").eqNullSafe(wd),
-            _lit("wikipedia wikidata mismatch - follow wikipedia redirect"),
+            F.concat(
+                F.lit("wikipedia wikidata mismatch - follow wikipedia redirect"), pfx_sfx
+            ),
         ),
         "mismatch_follow_wikidata_redirect": (
             mismatch & F.col("wd_redirect_to").eqNullSafe(F.col("wp_qid")),
-            _lit("wikipedia wikidata mismatch - follow wikidata redirect"),
+            F.concat(
+                F.lit("wikipedia wikidata mismatch - follow wikidata redirect"), pfx_sfx
+            ),
         ),
-        "mismatch": (mismatch, _lit("wikipedia wikidata mismatch")),
+        # disambig-refined mismatch (reference id
+        # `generate_webpage_with_error_output.py` for_review/for_tests/
+        # ignored lists, plain + per-prefix)
+        "mismatch_wp_disambig": (
+            mismatch
+            & F.coalesce("wp_is_disambiguation", F.lit(False))
+            & ~F.coalesce("wd_is_disambiguation", F.lit(False)),
+            F.concat(
+                F.lit(
+                    "wikipedia wikidata mismatch - wikipedia points to "
+                    "disambiguation page and wikidata does not"
+                ),
+                pfx_sfx,
+            ),
+        ),
+        "mismatch": (
+            mismatch, F.concat(F.lit("wikipedia wikidata mismatch"), pfx_sfx)
+        ),
         "wikidata_redirect": (wd_redirect, _lit("wikidata tag links to a redirect")),
         "wikipedia_redirect": (wp_redirect, _lit("wikipedia tag links to a redirect")),
+        # reference id (`generate_webpage_with_error_output.py:412`)
         "wikipedia_disambig": (
-            wp_disambig, _lit("wikipedia tag links to a disambiguation page")
+            wp_disambig, _lit("link to a disambiguation page")
         ),
         "secondary_class": (
             secondary_class,
@@ -713,11 +837,12 @@ def validate(
     inside_region_col: str | None = None,
     request_missing_tags: bool = False,
 ) -> DataFrame:
-    """Full V1 pipeline: relevance filter → tag extract → entity joins →
-    region-language join → cascade → ignored-problems MARK (not drop:
-    suppressed rows stay in state, reference `script.py:309-313`) →
-    report struct. Pure DataFrame ops; Catalyst broadcasts every dim.
-    Report sinks filter on the `suppressed` column."""
+    """Full V1 pipeline: relevance filter → pair-coherent tag extract →
+    entity joins (wp article, wd qid, redirect target, out-of-pair
+    secondary wd) → region-language join → cascade → ignored-problems
+    MARK (not drop: suppressed rows stay in state, reference
+    `script.py:309-313`) → report struct. Pure DataFrame ops; Catalyst
+    broadcasts every dim. Report sinks filter on `suppressed`."""
     rel = elements.filter(relevance_filter(elements))
     tagged = extract_wiki_tags(rel)
     joined = join_wiki_entities(tagged, wiki)

@@ -187,3 +187,56 @@ def test_featured_rotation(spark):
 
     with pytest.raises(ValueError, match="run out"):
         R.featured_rotation(tasks_df({"a": (1, 0)}), ["a", "b"])
+
+
+def test_challenge_sync_plan(spark):
+    """Reproduces the reference's challenge-orchestration decisions
+    (`maproulette_challenge_creation.py:569-668`) on a fixture state:
+    create for un-challenged classes with candidates, add missing
+    tasks, delete stale live-shown tasks, flag false-positive/too-hard
+    candidates, skip settled/deleted rows."""
+    from osm_wikipedia_tag_validator_spark.operators import reports as R
+
+    candidates = spark.createDataFrame(
+        [
+            ("e1", "u1"),  # already in MR as created -> nothing
+            ("e1", "u2"),  # not in MR -> add_task
+            ("e1", "u3"),  # in MR as false_positive -> flag_manual
+            ("e1", "u8"),  # in MR as too_hard -> flag_manual
+            ("e1", "u9"),  # in MR as fixed -> nothing (settled)
+            ("e2", "u4"),  # class has no challenge -> create + add
+            ("e1", "u7"),  # in MR but deleted -> treated absent -> add
+        ],
+        "error_id string, osm_object_url string",
+    )
+    challenges = spark.createDataFrame([("e1",), ("e3",)], "error_id string")
+    mr_tasks = spark.createDataFrame(
+        [
+            ("e1", "u1", "created"),
+            ("e1", "u3", "false_positive"),
+            ("e1", "u8", "too_hard"),
+            ("e1", "u9", "fixed"),
+            ("e1", "u5", "created"),  # stale + live-shown -> delete
+            ("e1", "u6", "fixed"),    # stale but settled -> keep
+            ("e1", "u7", "deleted"),  # deleted rows are skipped
+        ],
+        "error_id string, osm_object_url string, status string",
+    )
+    plan = (
+        R.challenge_sync_plan(candidates, challenges, mr_tasks)
+        .toPandas()
+        .sort_values(["action", "error_id", "osm_object_url"])
+    )
+    got = {
+        (r.action, r.error_id, r.osm_object_url)
+        for r in plan.itertuples(index=False)
+    }
+    assert got == {
+        ("add_task", "e1", "u2"),
+        ("add_task", "e1", "u7"),
+        ("add_task", "e2", "u4"),
+        ("flag_manual", "e1", "u3"),
+        ("flag_manual", "e1", "u8"),
+        ("delete_task", "e1", "u5"),
+        ("create_challenge", "e2", None),
+    }

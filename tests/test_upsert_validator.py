@@ -95,7 +95,27 @@ CASES = [
      "wikipedia wikidata mismatch - follow wikidata redirect"),
     ({"wikidata": "Q2"}, "wikidata tag links to a redirect"),
     ({"wikipedia": "en:Redirecting"}, "wikipedia tag links to a redirect"),
-    ({"wikipedia": "en:Disambig"}, "wikipedia tag links to a disambiguation page"),
+    ({"wikipedia": "en:Disambig"}, "link to a disambiguation page"),
+    # disambig-refined mismatch (wp → disambiguation page, wd does not)
+    ({"wikipedia": "en:Disambig", "wikidata": "Q1"},
+     "wikipedia wikidata mismatch - wikipedia points to disambiguation page and wikidata does not"),
+    # prefixed PAIRS — the reference's "- for {prefix} prefixed tags"
+    # generated families, validated pair-coherently
+    ({"architect:wikipedia": "en:Good", "architect:wikidata": "Q3"},
+     "wikipedia wikidata mismatch - for architect prefixed tags"),
+    ({"sculptor:wikipedia": "en:Redirecting", "sculptor:wikidata": "Q1"},
+     "wikipedia wikidata mismatch - follow wikipedia redirect - for sculptor prefixed tags"),
+    # a prefixed pair linking a human article is CORRECT secondary
+    # usage — no complaint
+    ({"taxon:wikipedia": "en:Person"}, None),
+    # out-of-pair secondary keys next to a clean plain pair: shape/404
+    # checks only, never a mismatch against the plain pair
+    ({"wikipedia": "en:Good", "subject:wikidata": "banana"},
+     "malformed secondary wikidata tag - for subject prefixed tags"),
+    ({"wikipedia": "en:Good", "related:wikidata": "Q999999"},
+     "secondary wikidata tag links to 404"),
+    ({"wikipedia": "en:Good", "brand:wikipedia": "NoLang"},
+     "malformed secondary wikipedia tag - for brand prefixed tags"),
     ({"wikipedia": "en:Person"},
      "should use a secondary wikipedia tag - linking from wikipedia tag to a human"),
     ({"wikidata": "Q4"},
