@@ -252,15 +252,22 @@ def extract_wiki_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
     """
     t = F.col(tags_col)
     keys = F.map_keys(t)
-    wp_pref_keys = F.array_sort(F.filter(keys, lambda k: k.rlike("^.+:wikipedia$")))
-    wd_pref_keys = F.array_sort(F.filter(keys, lambda k: k.rlike("^.+:wikidata$")))
+    # suffix test, not a regex — this runs per key per row in the hot
+    # path; the length guard excludes a bare ':wikipedia' key, which
+    # would otherwise alias the plain-pair '' prefix
+    wp_pref_keys = F.array_sort(
+        F.filter(keys, lambda k: k.endswith(":wikipedia") & (F.length(k) > 10))
+    )
+    wd_pref_keys = F.array_sort(
+        F.filter(keys, lambda k: k.endswith(":wikidata") & (F.length(k) > 9))
+    )
     plain_wp = t.getItem("wikipedia")
     plain_wd = t.getItem("wikidata")
     has_plain = plain_wp.isNotNull() | plain_wd.isNotNull()
     all_prefixes = F.array_sort(
         F.array_union(
-            F.transform(wp_pref_keys, lambda k: F.regexp_replace(k, ":wikipedia$", "")),
-            F.transform(wd_pref_keys, lambda k: F.regexp_replace(k, ":wikidata$", "")),
+            F.transform(wp_pref_keys, lambda k: F.substring(k, F.lit(1), F.length(k) - 10)),
+            F.transform(wd_pref_keys, lambda k: F.substring(k, F.lit(1), F.length(k) - 9)),
         )
     )
     pair_prefix = F.when(has_plain, F.lit("")).otherwise(F.get(all_prefixes, 0))
@@ -320,9 +327,25 @@ def relevance_filter(df: DataFrame, tags_col: str = "tags") -> Column:
 
 def join_wiki_entities(elements: DataFrame, wiki: DataFrame) -> DataFrame:
     """J1 (SURVEY §2.3): the reference's per-row cached network lookup
-    (`script.py:329`) as three broadcast joins — on the wikipedia
-    article, on the wikidata qid, and on the wikipedia redirect target
-    (to resolve the redirect's article for proposed changes)."""
+    (`script.py:329`) as broadcast joins — on the wikipedia article, on
+    the wikidata qid, on the wikipedia redirect target (to resolve the
+    redirect's article for proposed changes), and on the out-of-pair
+    secondary wikidata value.
+
+    The secondary-class phrase lookup (132 instance-of classes,
+    `error_catalog.SECONDARY_TARGETS`) is joined into the wiki DIM here
+    — a dim⋈dim join on the driver-side-small entity table — rather
+    than inlined as a literal `create_map` in the cascade: a 132-entry
+    map literal repeated across when-branches bloats every generated
+    code path with hundreds of constants, and the dim join keeps plan
+    size independent of catalog breadth."""
+    phrase_dim = F.broadcast(
+        wiki.sparkSession.createDataFrame(
+            list(SECONDARY_CLASS_PHRASES.items()),
+            "instance_of string, secondary_phrase string",
+        )
+    )
+    wiki = wiki.join(phrase_dim, "instance_of", "left")
     wp = F.broadcast(
         wiki.select(
             F.col("article").alias("wikipedia_tag"),
@@ -331,6 +354,7 @@ def join_wiki_entities(elements: DataFrame, wiki: DataFrame) -> DataFrame:
             F.col("redirect_to").alias("wp_redirect_to"),
             F.col("is_disambiguation").alias("wp_is_disambiguation"),
             F.col("instance_of").alias("wp_instance_of"),
+            F.col("secondary_phrase").alias("wp_phrase"),
             F.col("sitelinks").alias("wp_sitelinks"),
         )
     )
@@ -341,6 +365,7 @@ def join_wiki_entities(elements: DataFrame, wiki: DataFrame) -> DataFrame:
             F.col("redirect_to").alias("wd_redirect_to"),
             F.col("is_disambiguation").alias("wd_is_disambiguation"),
             F.col("instance_of").alias("wd_instance_of"),
+            F.col("secondary_phrase").alias("wd_phrase"),
             F.col("sitelinks").alias("wd_sitelinks"),
         )
     )
@@ -365,13 +390,6 @@ def join_wiki_entities(elements: DataFrame, wiki: DataFrame) -> DataFrame:
         .join(redir, "wp_redirect_to", "left")
         .join(sec, "sec_wikidata_value", "left")
     )
-
-
-def _phrase_map_col() -> Column:
-    kv: list[Column] = []
-    for inst, phrase in SECONDARY_CLASS_PHRASES.items():
-        kv.extend([F.lit(inst), F.lit(phrase)])
-    return F.create_map(*kv)
 
 
 def _lang_redirect_map_col() -> Column:
@@ -438,14 +456,12 @@ def build_rules(
     # brand:wikipedia → brand article is CORRECT secondary usage
     from_wp = has_wp & ~wp_malformed & ~wp_404 & wp_primary
     from_wd = has_wd & ~wd_malformed & ~wd_404 & wd_plain
-    inst = F.coalesce(
-        F.when(from_wp, F.col("wp_instance_of")),
-        F.when(from_wd, F.col("wd_instance_of")),
+    # the phrase was joined into the entity dim (join_wiki_entities) —
+    # NULL for non-secondary classes (place/generic/unknown)
+    phrase = F.coalesce(
+        F.when(from_wp, F.col("wp_phrase")),
+        F.when(from_wd, F.col("wd_phrase")),
     )
-    # try_element_at: plain element_at throws on a missing map key under
-    # ANSI mode; a non-secondary instance_of (place/generic/NULL) must
-    # simply yield NULL
-    phrase = F.try_element_at(_phrase_map_col(), inst)
     from_desc = (
         F.when(from_wp & from_wd, "wikipedia and wikidata")
         .when(from_wp, "wikipedia")
