@@ -270,6 +270,11 @@ def gen_elements_batch(ids: np.ndarray) -> pd.DataFrame:
     extra_idx = (u01(hash2(h, 24)) * len(PREFIX_SAMPLE)).astype(np.int64)
     extra_prefixes = np.array(PREFIX_SAMPLE, dtype=object)[extra_idx]
     extra_bad = u01(hash2(h, 25))
+    # ~3% are information boards (tourism=information + information=
+    # board) — plain wiki keys there should be subject:* instead
+    info_board = u01(hash2(h, 26)) < 0.03
+    # ~2% carry a human fixme:wikipedia marker
+    fixme = u01(hash2(h, 27)) < 0.02
 
     def tag_rows(gen: int):
         rows = []
@@ -305,6 +310,11 @@ def gen_elements_batch(ids: np.ndarray) -> pd.DataFrame:
                     e3 = (int(ent[i]) + 3) % N_ENTITIES
                     sec_val = f"Q{e3}" if extra_bad[i] > 0.3 else f"bad-{e3}"
                     tags[f"{extra_prefixes[i]}:wikidata"] = sec_val
+                if info_board[i]:
+                    tags["tourism"] = "information"
+                    tags["information"] = "board"
+                if fixme[i]:
+                    tags["fixme:wikipedia"] = "check me"
             rows.append(tags)
         return rows
 

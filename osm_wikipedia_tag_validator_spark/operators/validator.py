@@ -128,17 +128,24 @@ RULE_PRIORITIES: dict[str, int] = {
     "wikidata_redirect": 14,
     "wikipedia_redirect": 15,
     "wikipedia_disambig": 16,
-    "secondary_class": 17,
+    # key-choice complaint for information boards outranks the
+    # article-class heuristics (it is about WHICH key, not the article)
+    "info_board_wikipedia": 17,
+    "info_board_wikidata": 18,
+    "secondary_class": 19,
     # the fixable refinement outranks the generic wrong-language id
-    "wrong_language_fixable": 18,
-    "wrong_language": 19,
+    "wrong_language_fixable": 20,
+    "wrong_language": 21,
     # tag-completion families (reference obvious_fixes 'wikidata from
     # wikipedia tag' / 'wikipedia from wikidata tag[, unexpected
     # language]') — gated by classify(request_missing_tags=...)
-    "wikidata_from_wikipedia": 20,
-    "wikipedia_from_wikidata": 21,
-    "wikipedia_from_wikidata_lang": 22,
-    "outside_region": 23,
+    "wikidata_from_wikipedia": 22,
+    "wikipedia_from_wikidata": 23,
+    "wikipedia_from_wikidata_lang": 24,
+    # fixme:wikipedia is a catch-all "something is wrong" marker — any
+    # specific diagnosis above outranks it
+    "fixme_wikipedia": 25,
+    "outside_region": 26,
 }
 
 # best-effort family for singleton catalog ids the cascade does not
@@ -188,6 +195,15 @@ def catalog_rows() -> list[tuple[str, str, int, str]]:
         ("wikipedia from wikidata tag, unexpected language", "obvious",
          P["wikipedia_from_wikidata_lang"], "wikipedia_from_wikidata_lang"),
         ("element outside declared region", "review", P["outside_region"], "outside_region"),
+        # information boards should link their SUBJECT via subject:*
+        # (`generate_webpage_with_error_output.py:420-421`)
+        ("information board with wikipedia tag, not subject:wikipedia", "review",
+         P["info_board_wikipedia"], "info_board_wikipedia"),
+        ("information board with wikidata tag, not subject:wikidata", "review",
+         P["info_board_wikidata"], "info_board_wikidata"),
+        # catch-all human marker (`generate_webpage_with_error_output.py:525`)
+        ("something is wrong with wikipedia tag - fixme:wikipedia is present",
+         "review", P["fixme_wikipedia"], "fixme_wikipedia"),
         # routed-but-never-rendered class (reference `ignored()` list)
         ("wikipedia tag in outdated form", "ignored", _SINGLETON_PRIORITY, "legacy"),
     ]
@@ -254,12 +270,26 @@ def extract_wiki_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
     keys = F.map_keys(t)
     # suffix test, not a regex — this runs per key per row in the hot
     # path; the length guard excludes a bare ':wikipedia' key, which
-    # would otherwise alias the plain-pair '' prefix
+    # would otherwise alias the plain-pair '' prefix. Marker keys
+    # (fixme:/source:/note:) carry human text or provenance, not
+    # links — fixme:wikipedia has its own complaint class (reference
+    # `generate_webpage_with_error_output.py:525`), the others are
+    # skipped like the reference skips them.
     wp_pref_keys = F.array_sort(
-        F.filter(keys, lambda k: k.endswith(":wikipedia") & (F.length(k) > 10))
+        F.filter(
+            keys,
+            lambda k: k.endswith(":wikipedia")
+            & (F.length(k) > 10)
+            & ~k.isin("fixme:wikipedia", "source:wikipedia", "note:wikipedia"),
+        )
     )
     wd_pref_keys = F.array_sort(
-        F.filter(keys, lambda k: k.endswith(":wikidata") & (F.length(k) > 9))
+        F.filter(
+            keys,
+            lambda k: k.endswith(":wikidata")
+            & (F.length(k) > 9)
+            & ~k.isin("fixme:wikidata", "source:wikidata", "note:wikidata"),
+        )
     )
     plain_wp = t.getItem("wikipedia")
     plain_wd = t.getItem("wikidata")
@@ -490,6 +520,11 @@ def build_rules(
     def _lit(s: str) -> Column:
         return F.lit(s)
 
+    _t = F.col("tags")
+    _is_info_board = (F.try_element_at(_t, F.lit("tourism")) == "information") & (
+        F.try_element_at(_t, F.lit("information")) == "board"
+    )
+
     # which prefixed key carries a malformed payload — the validated
     # pair's (prefixed pair) or the out-of-pair secondary key
     msw_key = F.when(wp_malformed & pair_prefixed, used_wp).otherwise(
@@ -571,6 +606,23 @@ def build_rules(
                 F.lit(" tag to "),
                 phrase,
             ),
+        ),
+        # information boards must link their subject via subject:*
+        # (`generate_webpage_with_error_output.py:420-421`; challenge
+        # text `maproulette_challenge_creation.py:802-812`)
+        "info_board_wikipedia": (
+            _is_info_board & has_wp & wp_primary,
+            _lit("information board with wikipedia tag, not subject:wikipedia"),
+        ),
+        "info_board_wikidata": (
+            _is_info_board & has_wd & wd_plain,
+            _lit("information board with wikidata tag, not subject:wikidata"),
+        ),
+        # catch-all fixme marker (`generate_webpage…py:525`) — ranked
+        # after every specific diagnosis
+        "fixme_wikipedia": (
+            F.try_element_at(F.col("tags"), F.lit("fixme:wikipedia")).isNotNull(),
+            _lit("something is wrong with wikipedia tag - fixme:wikipedia is present"),
         ),
         "nonexisting_lang_code": (
             wp_shape_ok & ~lang_known & ~lang_alias,

@@ -116,6 +116,19 @@ CASES = [
      "secondary wikidata tag links to 404"),
     ({"wikipedia": "en:Good", "brand:wikipedia": "NoLang"},
      "malformed secondary wikipedia tag - for brand prefixed tags"),
+    # information boards should link their subject via subject:*
+    ({"tourism": "information", "information": "board", "wikipedia": "en:Good"},
+     "information board with wikipedia tag, not subject:wikipedia"),
+    ({"tourism": "information", "information": "board", "wikidata": "Q1"},
+     "information board with wikidata tag, not subject:wikidata"),
+    # a board already using subject:* is correct
+    ({"tourism": "information", "information": "board", "subject:wikidata": "Q1"}, None),
+    # catch-all human marker, ranked after every specific diagnosis
+    ({"wikipedia": "en:Good", "fixme:wikipedia": "verify"},
+     "something is wrong with wikipedia tag - fixme:wikipedia is present"),
+    # a LONE fixme:wikipedia is a marker, never a prefixed link pair
+    ({"fixme:wikipedia": "needs check"},
+     "something is wrong with wikipedia tag - fixme:wikipedia is present"),
     ({"wikipedia": "en:Person"},
      "should use a secondary wikipedia tag - linking from wikipedia tag to a human"),
     ({"wikidata": "Q4"},
