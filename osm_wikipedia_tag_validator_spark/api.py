@@ -78,6 +78,11 @@ class Engine:
 
         return _rep.featured_rotation(tasks, featured_pool, **kw)
 
+    def challenge_sync_plan(self, candidates, challenges, mr_tasks) -> DataFrame:
+        from .operators import reports as _rep
+
+        return _rep.challenge_sync_plan(candidates, challenges, mr_tasks)
+
     # --- state ---
     def latest_per_key(self, df, **kw) -> DataFrame:
         return _upsert.latest_per_key(df, **kw)

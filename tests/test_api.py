@@ -23,6 +23,13 @@ def test_engine_facade_end_to_end(spark):
     assert hits.count() > 0
     tiled = eng.assign_tiles(latest.select("id", "lon", "lat"), z=6)
     assert "tile_id" in tiled.columns
+    cand = reports.select("error_id", "osm_object_url")
+    challenges = spark.createDataFrame([("wikipedia tag links to 404",)], "error_id string")
+    tasks = cand.limit(5).withColumn("status", F.lit("created"))
+    plan = eng.challenge_sync_plan(cand, challenges, tasks)
+    assert set(plan.select("action").distinct().toPandas()["action"]) <= {
+        "create_challenge", "add_task", "delete_task", "flag_manual"
+    }
 
 
 def test_engine_multimodal_surface(spark):
