@@ -275,6 +275,9 @@ def gen_elements_batch(ids: np.ndarray) -> pd.DataFrame:
     info_board = u01(hash2(h, 26)) < 0.03
     # ~2% carry a human fixme:wikipedia marker
     fixme = u01(hash2(h, 27)) < 0.02
+    # of bridge-prefixed elements, ~40% ARE the bridge outline
+    # (man_made=bridge) — the rest draw the move-to-outline complaint
+    bridge_outline = u01(hash2(h, 28)) < 0.4
 
     def tag_rows(gen: int):
         rows = []
@@ -313,6 +316,8 @@ def gen_elements_batch(ids: np.ndarray) -> pd.DataFrame:
                 if info_board[i]:
                     tags["tourism"] = "information"
                     tags["information"] = "board"
+                if prefixed[i] and prefixes[i] == "bridge" and bridge_outline[i]:
+                    tags["man_made"] = "bridge"
                 if fixme[i]:
                     tags["fixme:wikipedia"] = "check me"
             rows.append(tags)

@@ -132,20 +132,22 @@ RULE_PRIORITIES: dict[str, int] = {
     # article-class heuristics (it is about WHICH key, not the article)
     "info_board_wikipedia": 17,
     "info_board_wikidata": 18,
-    "secondary_class": 19,
+    # bridge:* links belong on the bridge outline object
+    "bridge_outline": 19,
+    "secondary_class": 20,
     # the fixable refinement outranks the generic wrong-language id
-    "wrong_language_fixable": 20,
-    "wrong_language": 21,
+    "wrong_language_fixable": 21,
+    "wrong_language": 22,
     # tag-completion families (reference obvious_fixes 'wikidata from
     # wikipedia tag' / 'wikipedia from wikidata tag[, unexpected
     # language]') — gated by classify(request_missing_tags=...)
-    "wikidata_from_wikipedia": 22,
-    "wikipedia_from_wikidata": 23,
-    "wikipedia_from_wikidata_lang": 24,
+    "wikidata_from_wikipedia": 23,
+    "wikipedia_from_wikidata": 24,
+    "wikipedia_from_wikidata_lang": 25,
     # fixme:wikipedia is a catch-all "something is wrong" marker — any
     # specific diagnosis above outranks it
-    "fixme_wikipedia": 25,
-    "outside_region": 26,
+    "fixme_wikipedia": 26,
+    "outside_region": 27,
 }
 
 # best-effort family for singleton catalog ids the cascade does not
@@ -204,6 +206,14 @@ def catalog_rows() -> list[tuple[str, str, int, str]]:
         # catch-all human marker (`generate_webpage_with_error_output.py:525`)
         ("something is wrong with wikipedia tag - fixme:wikipedia is present",
          "review", P["fixme_wikipedia"], "fixme_wikipedia"),
+        # bridge:* links belong on the bridge OUTLINE object
+        # (`generate_webpage_with_error_output.py` for_review singles)
+        ("bridge:wikipedia - move to bridge outline", "review",
+         P["bridge_outline"], "bridge_outline"),
+        ("bridge:wikidata - move to bridge outline", "review",
+         P["bridge_outline"], "bridge_outline"),
+        ("bridge:wikipedia and bridge:wikidata - move to bridge outline", "review",
+         P["bridge_outline"], "bridge_outline"),
         # routed-but-never-rendered class (reference `ignored()` list)
         ("wikipedia tag in outdated form", "ignored", _SINGLETON_PRIORITY, "legacy"),
     ]
@@ -617,6 +627,22 @@ def build_rules(
         "info_board_wikidata": (
             _is_info_board & has_wd & wd_plain,
             _lit("information board with wikidata tag, not subject:wikidata"),
+        ),
+        # bridge:* links belong on the bridge OUTLINE object (reference
+        # for_review ids '"bridge:wikipedia[ and bridge:wikidata]" -
+        # move to bridge outline'); fires for a WELL-FORMED bridge pair
+        # on an element that is not itself the outline (man_made=
+        # bridge) — malformed/404/mismatch diagnoses above outrank it
+        "bridge_outline": (
+            (pair_prefix == "bridge")
+            & (F.try_element_at(F.col("tags"), F.lit("man_made")).isNull()
+               | (F.try_element_at(F.col("tags"), F.lit("man_made")) != "bridge")),
+            F.concat(
+                F.when(has_wp & has_wd, F.lit("bridge:wikipedia and bridge:wikidata"))
+                .when(has_wp, F.lit("bridge:wikipedia"))
+                .otherwise(F.lit("bridge:wikidata")),
+                F.lit(" - move to bridge outline"),
+            ),
         ),
         # catch-all fixme marker (`generate_webpage…py:525`) — ranked
         # after every specific diagnosis

@@ -129,6 +129,16 @@ CASES = [
     # a LONE fixme:wikipedia is a marker, never a prefixed link pair
     ({"fixme:wikipedia": "needs check"},
      "something is wrong with wikipedia tag - fixme:wikipedia is present"),
+    # bridge:* links belong on the bridge outline object
+    ({"bridge:wikipedia": "en:Good"}, "bridge:wikipedia - move to bridge outline"),
+    ({"bridge:wikidata": "Q1"}, "bridge:wikidata - move to bridge outline"),
+    ({"bridge:wikipedia": "en:Good", "bridge:wikidata": "Q1"},
+     "bridge:wikipedia and bridge:wikidata - move to bridge outline"),
+    # the outline object itself is the right place — no complaint
+    ({"bridge:wikipedia": "en:Good", "man_made": "bridge"}, None),
+    # a BROKEN bridge pair keeps its specific diagnosis
+    ({"bridge:wikipedia": "en:Good", "bridge:wikidata": "Q3"},
+     "wikipedia wikidata mismatch - for bridge prefixed tags"),
     ({"wikipedia": "en:Person"},
      "should use a secondary wikipedia tag - linking from wikipedia tag to a human"),
     ({"wikidata": "Q4"},
