@@ -186,13 +186,49 @@ def run_default() -> dict:
     # 13 s warm on a quiet box) — the tiny run pays that JIT cost so
     # the timed legs measure the engine, not the JVM compiler
     run_flagship(spark, 2000, 1000)
-    # min of 2 for the two composite pipelines (each leg is 10-20 s)
-    flag_runs = [run_flagship(spark, FLAGSHIP_ELEMENTS, FLAGSHIP_IMAGES) for _ in range(2)]
+
+    # co-tenant contamination evidence: every composite leg records the
+    # host's hypervisor-steal delta (/proc/stat cpu field 9) around it.
+    # A leg whose steal delta is thousands of jiffies was throttled by
+    # the SHARED box, not the engine — measured 2026-08-17: the same
+    # 500k tile job swings 7.6 s clean ↔ 18 s with ~20k steal jiffies.
+    def _steal() -> int:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+
+    def _timed_legs(fn, reps: int) -> tuple[list[dict], list[int]]:
+        runs, steals = [], []
+        for _ in range(reps):
+            s0 = _steal()
+            runs.append(fn())
+            steals.append(_steal() - s0)
+        return runs, steals
+
+    # standard pre-measurement hygiene (what JMH does): force a full
+    # collection before each composite's timed legs so earlier jobs'
+    # garbage (flagship broadcasts 60k elements + 12k images) isn't
+    # collected DURING a timed leg — measured 2026-08-17: tile legs
+    # after the flagship runs drop 10.6-16.7 s → 8.4-9.7 s with a GC
+    # between (partially confounded with steal; both recorded)
+    def _settle():
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
+
+    # min of 2 for the flagship composite (each leg is 10-20 s)
+    _settle()
+    flag_runs, flag_steal = _timed_legs(
+        lambda: run_flagship(spark, FLAGSHIP_ELEMENTS, FLAGSHIP_IMAGES), 2
+    )
     flag = min(flag_runs, key=lambda r: r["wall_sec"])
 
     # the map-side tile pipeline at a size where compute dominates —
-    # the engine's images/sec headline (same job as the scaling legs)
-    tile_runs = [run_scaling_job(spark, 0, 500_000) for _ in range(2)]
+    # the engine's images/sec headline (same job as the scaling legs).
+    # Warm ITS plan shape first (cheap 100k run) so leg 1 isn't charged
+    # codegen, and take min of 3: this is the round-over-round headline
+    # and single steal bursts otherwise dominate the recorded number
+    run_scaling_job(spark, 0, 100_000)
+    _settle()
+    tile_runs, tile_steal = _timed_legs(lambda: run_scaling_job(spark, 0, 500_000), 3)
     tile = min(tile_runs, key=lambda r: r["wall_sec"])
     timings["flagship_spatial"] = round(flag["wall_sec"], 3)
     legs["flagship_spatial"] = [round(r["wall_sec"], 3) for r in flag_runs]
@@ -207,7 +243,14 @@ def run_default() -> dict:
         "unit": "sec",
         "queries": timings,
         "query_legs": legs,
-        "methodology": "min-of-3 per query (min-of-2 composites), all legs recorded",
+        "methodology": (
+            "min-of-3 per query (min-of-2 flagship, min-of-3 tile), all legs "
+            "+ per-leg steal jiffies recorded"
+        ),
+        "composite_leg_steal_jiffies": {
+            "flagship_spatial": flag_steal,
+            "tile_pipeline_500k": tile_steal,
+        },
         "sf": _sf_from_dir(SF_DIR),
         "cpus": CPUS,
         "flagship_images_per_sec": round(flag["images_per_sec"], 1),
