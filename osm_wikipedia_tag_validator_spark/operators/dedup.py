@@ -7,6 +7,8 @@ runs only inside buckets.
   exact_dedup        md5-fingerprint groupBy (one shuffle on the hash)
   token_jaccard_pairs  inverted-index self-join on tokens + count agg —
                        fully relational, DuckDB-oracle-matchable
+  winnow_copy_pairs  rolling-hash winnowing fingerprints (SIGMOD'03)
+                     → inverted-index join — MOSS-style copy detection
   minhash_lsh_pairs  shingle→MinHash→band→bucket-join→verify
   simhash_pairs      64-bit SimHash, 4×16-bit pigeonhole bands
   embedding_neardup  random-hyperplane LSH buckets → exact cosine
@@ -129,6 +131,92 @@ def token_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# winnowing (rolling-hash document fingerprints)
+# --------------------------------------------------------------------------
+
+def winnow_fingerprint_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 16,
+    window: int = 8,
+) -> DataFrame:
+    """Exploded (id, fp) winnowed fingerprint sets (Schleimer et al.,
+    SIGMOD'03 winnowing): rolling base-257 char-n-gram hashes → min per
+    length-`window` sliding window → distinct mins. The winnowing
+    guarantee: any substring shared verbatim by two documents of length
+    ≥ window + n - 1 contributes at least one SHARED fingerprint, so
+    copy detection never misses long verbatim overlaps while keeping
+    ~2/(window+1) of the n-gram hashes.
+
+    The per-doc hash/min path is vectorized numpy inside mapInPandas;
+    the output is the relational inverted index `winnow_copy_pairs`
+    consumes (uint64 hashes reinterpreted as Spark signed longs,
+    bit-identical either way)."""
+    out_schema = f"{id_col} long, fp long"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = TX.char_ngrams_hashed(pdf[text_col].tolist(), n=n)
+            ids, fps = [], []
+            for i, h in enumerate(hs):
+                w = TX.winnow_fingerprints(h, window)
+                ids.append(np.full(len(w), pdf[id_col].iloc[i], dtype=np.int64))
+                fps.append(w.view(np.int64))
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(ids) if ids else np.empty(0, np.int64),
+                    "fp": np.concatenate(fps) if fps else np.empty(0, np.int64),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def winnow_copy_pairs(
+    df: DataFrame,
+    min_shared: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 16,
+    window: int = 8,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """MOSS-style copy-detection pairs: all (id1 < id2, n_shared) with
+    ≥ min_shared shared winnowed fingerprints.
+
+    Inverted-index self-join on the fingerprint (the same Σ df² shape
+    as `token_jaccard_pairs`, never an all-pairs cross join), then a
+    count aggregate per pair. `max_fp_df` applies the Vernica-style
+    document-frequency cut to degenerate hot fingerprints (boilerplate
+    shared by thousands of docs would otherwise make the self-join
+    quadratic in that fingerprint's df at 100 TB); with the cut, a
+    reported pair's n_shared counts rare fingerprints only — the
+    documented recall trade, same contract as token_jaccard_pairs."""
+    fps = winnow_fingerprint_sets(df, text_col, id_col, n, window)
+    if max_fp_df is not None:
+        fps = fps.join(
+            fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
+                F.col("_df") <= max_fp_df
+            ),
+            "fp",
+        ).select(id_col, "fp")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

@@ -3,6 +3,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from osm_wikipedia_tag_validator_spark.functions import textfns as TX
+from osm_wikipedia_tag_validator_spark.functions.hashing import splitmix64
 from osm_wikipedia_tag_validator_spark.operators import dedup as DD
 
 
@@ -99,6 +100,78 @@ def test_winnow_fingerprints_shift_invariant():
     fp2 = set(TX.winnow_fingerprints(h2, 8).tolist())
     overlap = len(fp1 & fp2) / len(fp1 | fp2)
     assert overlap > 0.6  # winnowing is robust to prefix shifts
+
+
+def _brute_winnow(text: str, n: int, window: int) -> set[int]:
+    """Pure-Python winnowing reference: per-position rolling hash (same
+    base-257 formula + splitmix64 remix as char_ngrams_hashed), min per
+    sliding window, distinct — the independent oracle for the
+    vectorized numpy path."""
+    b = text.encode("utf-8")
+    if len(b) < n:
+        return {int(x) for x in np.unique(TX.char_ngrams_hashed([text], n=n)[0])}
+    hashes = []
+    for i in range(len(b) - n + 1):
+        h = 0
+        for j in range(n):
+            h = (h * 257 + b[i + j]) % (1 << 64)
+        hashes.append(int(splitmix64(np.array([h ^ 1], dtype=np.uint64))[0]))
+    if len(hashes) < window:
+        return set(hashes)
+    return {min(hashes[i : i + window]) for i in range(len(hashes) - window + 1)}
+
+
+def test_winnow_sets_match_bruteforce(docs):
+    """The distributed fingerprint sets equal an independent pure-Python
+    winnowing implementation, doc by doc."""
+    got = DD.winnow_fingerprint_sets(docs, n=8, window=4).toPandas()
+    by_doc = {
+        int(k): {int(v) & ((1 << 64) - 1) for v in g["fp"]}
+        for k, g in got.groupby("doc_id")
+    }
+    for doc_id, text in docs.toPandas().itertuples(index=False):
+        expected = _brute_winnow(text, n=8, window=4)
+        assert by_doc.get(int(doc_id), set()) == expected, f"doc {doc_id}"
+
+
+def test_winnow_copy_pairs_vs_bruteforce(docs):
+    """Pair shared-counts equal brute-force set intersections, and the
+    winnowing guarantee holds: docs 0/6 share a long verbatim prefix
+    (≥ window+n-1 chars) so they MUST pair."""
+    pairs = DD.winnow_copy_pairs(docs, min_shared=1, n=16, window=8).toPandas()
+    got = {(int(a), int(b)): int(s) for a, b, s in zip(pairs.id1, pairs.id2, pairs.n_shared)}
+    texts = {int(i): t for i, t in docs.toPandas().itertuples(index=False)}
+    sets = {i: _brute_winnow(t, n=16, window=8) for i, t in texts.items()}
+    expected = {}
+    for i in sets:
+        for j in sets:
+            if i < j and len(sets[i] & sets[j]) >= 1:
+                expected[(i, j)] = len(sets[i] & sets[j])
+    assert got == expected
+    assert (0, 1) in got and (0, 6) in got  # guarantee: long verbatim overlap
+    # unrelated docs never pair with the base family
+    assert not any((a in (4, 5)) ^ (b in (4, 5)) for a, b in got)
+
+
+def test_winnow_fp_df_cut(spark):
+    """max_fp_df drops hot fingerprints from the inverted index only:
+    a fingerprint present in EVERY doc stops generating candidates."""
+    boiler = "SHARED-BOILERPLATE-FOOTER-TEXT-123456"  # > n+window-1 chars
+    rows = [
+        (0, "alpha document body first " * 3 + boiler),
+        (1, "alpha document body first " * 3 + boiler + " tail"),  # near-dup of 0
+        (2, "totally different content here about engines " + boiler),
+        (3, "yet another unrelated body of text entirely " + boiler),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = DD.winnow_copy_pairs(d, min_shared=1).toPandas()
+    cut = DD.winnow_copy_pairs(d, min_shared=1, max_fp_df=2).toPandas()
+    exact_pairs = {(int(a), int(b)) for a, b in zip(exact.id1, exact.id2)}
+    cut_pairs = {(int(a), int(b)) for a, b in zip(cut.id1, cut.id2)}
+    # boilerplate-only pairs exist uncut but are dropped by the df cut
+    assert (2, 3) in exact_pairs and (2, 3) not in cut_pairs
+    # the genuine near-dup pair survives the cut
+    assert (0, 1) in cut_pairs
 
 
 def test_token_jaccard_df_cut(spark):
