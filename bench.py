@@ -388,7 +388,10 @@ def run_scaling() -> dict:
         for cores, rs in legs.items()
     }
     for cores, rs in legs.items():
-        results[cores]["leg_walls"] = sorted(round(r["wall_sec"], 2) for r in rs)
+        # run order for BOTH arrays so wall[i] and steal[i] describe the
+        # same leg — sorting walls alone would misattribute steal to the
+        # wrong leg, defeating the contamination-audit purpose
+        results[cores]["leg_walls"] = [round(r["wall_sec"], 2) for r in rs]
         results[cores]["leg_steal"] = [r.get("steal_jiffies") for r in rs]
     # STEAL-BIAS CONTROL, same N→4N criterion at 4 vs 16: a 32-wide leg
     # needs EVERY vCPU of this shared box, so any co-tenant activity is
@@ -449,8 +452,9 @@ def run_scaling() -> dict:
         "value_4_to_16": round(eff_s, 3),
         "pair_efficiencies_4_16": [round(e, 3) for e in pair_effs_s],
         "leg_walls_sec_4_16": {
-            "local4": sorted(round(r["wall_sec"], 2) for r in legs_s[4]),
-            "local16": sorted(round(r["wall_sec"], 2) for r in legs_s[16]),
+            # run order, index-aligned with leg_steal_jiffies_4_16
+            "local4": [round(r["wall_sec"], 2) for r in legs_s[4]],
+            "local16": [round(r["wall_sec"], 2) for r in legs_s[16]],
         },
         "leg_steal_jiffies_4_16": {
             "local4": [r.get("steal_jiffies") for r in legs_s[4]],

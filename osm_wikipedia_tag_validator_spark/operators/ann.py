@@ -83,17 +83,21 @@ def cosine_topk_fast(
     The matrix ships via SparkContext.broadcast — once per executor,
     not once per task as a closure would.
 
-    An over-limit corpus must never reach the driver: the limit+count
-    pre-check (touches only max_inline_corpus+1 rows, no data pulled)
-    falls back to `cosine_topk_native`, whose broadcast nested loop
-    stays JVM-side — same output, same tie-breaks."""
-    if corpus.limit(max_inline_corpus + 1).count() > max_inline_corpus:
+    An over-limit corpus must never reach the driver unbounded: the
+    collect itself runs under limit(max_inline_corpus+1), so ONE job
+    both fetches the matrix (common case: corpus fits, limit is a
+    no-op) and detects overflow — a separate count pre-check would
+    re-run the corpus lineage (scans/joins/decodes) twice per call.
+    On overflow the partial pull is discarded and we fall back to
+    `cosine_topk_native`, whose broadcast nested loop stays JVM-side —
+    same output, same tie-breaks."""
+    ids, M = _collect_matrix(corpus.limit(max_inline_corpus + 1), c_id, c_vec)
+    if len(ids) > max_inline_corpus:
         return cosine_topk_native(
             queries, corpus, k,
             q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec,
             exclude_self=exclude_self,
         )
-    ids, M = _collect_matrix(corpus, c_id, c_vec)
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     bc = queries.sparkSession.sparkContext.broadcast((ids, Mn))
 

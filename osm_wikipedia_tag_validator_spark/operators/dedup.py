@@ -197,7 +197,11 @@ def winnow_copy_pairs(
     quadratic in that fingerprint's df at 100 TB); with the cut, a
     reported pair's n_shared counts rare fingerprints only — the
     documented recall trade, same contract as token_jaccard_pairs."""
-    fps = winnow_fingerprint_sets(df, text_col, id_col, n, window)
+    # cache: the fingerprint scan (the expensive full-corpus hashing
+    # pass) feeds both self-join sides and, with max_fp_df, the df-count
+    # too — uncached it would recompute 2-4× (same reason the minhash
+    # and simhash paths cache their signature frames)
+    fps = winnow_fingerprint_sets(df, text_col, id_col, n, window).cache()
     if max_fp_df is not None:
         fps = fps.join(
             fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(

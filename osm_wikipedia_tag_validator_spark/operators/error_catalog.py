@@ -231,6 +231,12 @@ PREFIXED_VARIANTS: dict[str, dict[str, tuple[str, ...]]] = {
             'healthcare:speciality', 'mascot:etymology', 'object',
             'official_name:etymology', 'old_brand', 'old_operator',
             'old_wikidata', 'organ', 'post_office:brand',
+            # NOT a transcription error: the reference's own list has
+            # this malformed entry (generate_webpage_with_error_output
+            # .py:1001 — 'post_office:bservice_provider and'), so the
+            # well-formed post_office:service_provider disambig id is
+            # unrouted there too; note_unused_errors surfaces it in
+            # both engines. Kept verbatim for byte-exact id parity.
             'post_office:bservice_provider and', 'proposed:brand', 'razed',
             'razed:brand', 'ref', 'related', 'removed', 'removed:brand',
             'supervisor_district', 'tunnel', 'vehicle', 'was', 'was:brand',

@@ -15,7 +15,22 @@ report invalidation (`script.py:191-255`). Here:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import MapType
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+
+
+def _contains_map(dt: DataType) -> bool:
+    """True if the type transitively contains a MapType — xxhash64
+    rejects maps at ANY nesting depth (DATATYPE_MISMATCH.HASH_MAP_TYPE),
+    not just top-level, so the fingerprint must serialize e.g.
+    array<struct<m:map<...>>> columns too (the shape of the validator's
+    proposed_tagging_changes struct)."""
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def latest_per_key(
@@ -33,9 +48,10 @@ def latest_per_key(
     input order. Rows that tie on the fingerprint are byte-identical,
     so the pick is immaterial."""
     key_cols = key_cols or ["type", "id"]
-    # maps aren't hashable in Spark; serialize them for the fingerprint
+    # maps aren't hashable in Spark (at any nesting depth); serialize
+    # any map-bearing column for the fingerprint
     finger = [
-        F.to_json(f.name) if isinstance(f.dataType, MapType) else F.col(f.name)
+        F.to_json(f.name) if _contains_map(f.dataType) else F.col(f.name)
         for f in df.schema.fields
     ]
     tie = F.xxhash64(*finger) if finger else F.lit(0)

@@ -118,3 +118,67 @@ def test_popcount64():
     assert imagefns.popcount64(np.array([0]))[0] == 0
     assert imagefns.popcount64(np.array([0xFFFFFFFFFFFFFFFF], dtype=np.uint64))[0] == 64
     assert imagefns.popcount64(np.array([0b1011], dtype=np.uint64))[0] == 3
+
+
+# --------------------------------------------------------------------------
+# batch codecs: bit-identity to the scalar paths (the load-bearing
+# invariant behind stored-phash == hash(decode(bytes)) in datagen's
+# vectorized ingest — codecs.py batch docstrings cite these tests)
+# --------------------------------------------------------------------------
+
+def _stack(n, h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (16, 24), (32, 32), (64, 48)])
+def test_png_encode_batch_identical_to_scalar(h, w):
+    imgs = _stack(5, h, w)
+    got = codecs.png_encode_batch(imgs)
+    assert got == [codecs.png_encode(imgs[i]) for i in range(len(imgs))]
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (16, 24), (64, 48)])
+def test_fake_jpeg_encode_batch_identical_to_scalar(h, w):
+    imgs = _stack(4, h, w, seed=11)
+    datas, dec = codecs.fake_jpeg_encode_batch(imgs)
+    for i in range(len(imgs)):
+        assert datas[i] == codecs.fake_jpeg_encode(imgs[i])
+        np.testing.assert_array_equal(dec[i], codecs.decode_image(datas[i]))
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (16, 24), (32, 32), (64, 48)])
+def test_dct8_encode_batch_identical_to_scalar(h, w):
+    imgs = _stack(4, h, w, seed=13)
+    datas, dec = codecs.dct8_encode_batch(imgs)
+    for i in range(len(imgs)):
+        assert datas[i] == codecs.dct8_encode(imgs[i])
+        np.testing.assert_array_equal(dec[i], codecs.dct8_decode(datas[i]))
+
+
+def test_dct8_encode_batch_identity_across_batch_sizes():
+    """Partitioning changes Arrow batch sizes; encoded bytes must not.
+    The same image must encode identically alone, in a small stack and
+    in a large stack (fixed-order _mm_core makes BLAS-order effects
+    impossible by construction — this is the regression tripwire)."""
+    imgs = _stack(64, 16, 16, seed=17)
+    one = codecs.dct8_encode_batch(imgs[:1])[0][0]
+    small = codecs.dct8_encode_batch(imgs[:4])[0][0]
+    large = codecs.dct8_encode_batch(imgs)[0][0]
+    assert one == small == large == codecs.dct8_encode(imgs[0])
+
+
+@pytest.mark.parametrize("fmt", ["png", "jpeg", "dct8"])
+def test_encode_image_ex_matches_encode_then_decode(fmt):
+    img = _stack(1, 16, 24, seed=19)[0]
+    data, dec = codecs.encode_image_ex(img, fmt)
+    assert data == codecs.encode_image(img, fmt)
+    np.testing.assert_array_equal(dec, codecs.decode_image(data, fmt))
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (16, 24), (64, 48)])
+def test_ahash64_batch_identical_to_scalar(h, w):
+    imgs = _stack(6, h, w, seed=23)
+    got = imagefns.ahash64_batch(imgs)
+    exp = np.array([imagefns.ahash64(imgs[i]) for i in range(len(imgs))], dtype=np.int64)
+    np.testing.assert_array_equal(got, exp)

@@ -24,21 +24,29 @@ def _embeddings(spark, n=60, dim=8):
 
 
 def test_cosine_topk_fast_over_limit_never_collects(spark, monkeypatch):
-    """An over-limit corpus must never reach toPandas(): the guard
-    falls back to the JVM-side native path and still returns the exact
-    top-k."""
+    """An over-limit corpus must never reach the driver UNBOUNDED: the
+    single probe-collect runs under limit(max+1) — at most max+1 rows
+    pulled regardless of corpus size — then falls back to the JVM-side
+    native path and still returns the exact top-k."""
     df = _embeddings(spark)
     q = df.filter(F.col("vec_id") < 10)
 
-    def boom(*a, **k):  # pragma: no cover - failure mode
-        raise AssertionError("over-limit corpus reached driver collect")
+    real = ANN._collect_matrix
+    pulled = []
 
-    monkeypatch.setattr(ANN, "_collect_matrix", boom)
+    def spy(corpus, c_id, c_vec):
+        ids, M = real(corpus, c_id, c_vec)
+        pulled.append(len(ids))
+        return ids, M
+
+    monkeypatch.setattr(ANN, "_collect_matrix", spy)
     got = (
         ANN.cosine_topk_fast(q, df, k=3, max_inline_corpus=10)
         .toPandas()
         .sort_values(["vec_id", "rank"])
     )
+    # exactly one bounded probe job, never the 60-row corpus
+    assert pulled == [11]
     exp = (
         ANN.cosine_topk_native(q, df, k=3)
         .toPandas()
@@ -139,3 +147,26 @@ def test_neardup_by_phash_default_recall(spark):
 
     sig = inspect.signature(IO.neardup_by_phash)
     assert sig.parameters["max_hamming"].default == 6
+
+
+def test_latest_per_key_with_nested_map_schema(spark):
+    """The content fingerprint must handle maps at ANY nesting depth —
+    xxhash64 rejects them even inside array<struct<...>> (the shape of
+    the validator's proposed_tagging_changes struct)."""
+    rows = [
+        ("node", 1, 100, [{"m": {"wikipedia": "en:A"}}]),
+        ("node", 1, 100, [{"m": {"wikipedia": "en:B"}}]),
+        ("node", 1, 90, [{"m": {"wikipedia": "en:C"}}]),
+        ("way", 2, 50, []),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "type string, id long, download_timestamp long, "
+        "changes array<struct<m:map<string,string>>>",
+    )
+    got = latest_per_key(df).toPandas().sort_values(["type", "id"])
+    assert len(got) == 2  # analysis no longer throws; one winner per key
+    assert got["download_timestamp"].tolist() == [100, 50]
+    # determinism across shuffles: same winner on a repartitioned input
+    again = latest_per_key(df.repartition(7)).toPandas().sort_values(["type", "id"])
+    assert [str(c) for c in got["changes"]] == [str(c) for c in again["changes"]]
