@@ -149,6 +149,21 @@ def geojson_task_sink(reports: DataFrame, points: DataFrame,
     )
 
 
+def filter_reported_errors(
+    reported_errors: DataFrame, approved_ids: list[str]
+) -> DataFrame:
+    """The bot-side approved-class filter
+    (`osm_editor_bot_for_approved_tasks.py::filter_reported_errors`,
+    the reference's only unit-tested pure function): keep exactly the
+    error rows whose error_id is in the approved list. Declaratively a
+    literal-IN filter — pushes down to the scan, no shuffle, no join;
+    empty inputs and empty id lists fall out naturally (the
+    reference's four edge-case tests)."""
+    if not approved_ids:
+        return reported_errors.filter(F.lit(False))
+    return reported_errors.filter(F.col("error_id").isin(list(approved_ids)))
+
+
 def sync_tasks(current_reports: DataFrame, existing_tasks: DataFrame,
                key: str = "osm_object_url") -> tuple[DataFrame, DataFrame]:
     """J7 two-way anti-join sync (`maproulette_challenge_creation.py:
