@@ -36,7 +36,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import cells as C
 from ..functions import geometry as G
@@ -137,13 +137,13 @@ def point_in_polygon_join(
 _EDGE_EPS = 1e-12
 
 
-def _pip_join_native(points, polygons, lon_col, lat_col, res) -> DataFrame:
+def _pip_join_native(points, polygons, lon_col, lat_col, res, how: str = "inner") -> DataFrame:
     spark = points.sparkSession
     polys = collect_polygons(polygons)
     if not polys:
         pts = points.withColumn("cell", C.cell_col(F.col(lon_col), F.col(lat_col), res))
         empty = spark.createDataFrame([], "cell long, polygon_id string, region string")
-        return pts.join(F.broadcast(empty), "cell")
+        return pts.join(F.broadcast(empty), "cell", how)
     cover_pdf = build_cell_cover(polys, res)
     # edges per polygon: all rings flattened (even-odd handles holes)
     edge_rows = []
@@ -212,7 +212,7 @@ def _pip_join_native(points, polygons, lon_col, lat_col, res) -> DataFrame:
     # O(vertices) edge array is never copied into output rows (copying
     # it made the stage memory-bandwidth-bound at high DOP)
     joined = pts.alias("_pts").join(
-        cov, (F.col("_pts.cell") == F.col("_cov.cell")) & inside, "inner"
+        cov, (F.col("_pts.cell") == F.col("_cov.cell")) & inside, how
     )
     return joined.select("_pts.*", F.col("_cov.polygon_id"), F.col("_cov.region"))
 
@@ -272,14 +272,37 @@ def point_in_polygon_tag(
     lat_col: str = "lat",
     res: int = DEFAULT_RES,
     key_cols: list[str] | None = None,
+    unique_keys: bool = True,
 ) -> DataFrame:
     """Left variant: every point row kept once, with the containing
     region/polygon (first by polygon_id order) or NULLs.
 
     Used by the validator for the 'element outside declared region'
     check (the engine's exact replacement for the reference's
-    Nominatim-was-it-in-the-country gate)."""
+    Nominatim-was-it-in-the-country gate). `unique_keys=True` (the
+    validator's invariant — points come out of latest_per_key)
+    enables the fused one-pass plan; pass False when key_cols may
+    repeat across rows."""
     key_cols = key_cols or ["type", "id"]
+    if unique_keys:
+        # fused single-pass plan: LEFT broadcast cover join (every
+        # point row survives with its 0..n candidate matches), then a
+        # row_number window picks min(polygon_id) per key. Because the
+        # broadcast join preserves the child's partitioning, a points
+        # side already hash-partitioned on key_cols (the flagship's
+        # latest_per_key window) needs NO further exchange — whereas
+        # the join-back formulation recomputed the whole points
+        # lineage twice around a sort-merge self-join.
+        hits = _pip_join_native(points, polygons, lon_col, lat_col, res, how="left")
+        w = Window.partitionBy(*key_cols).orderBy(F.asc_nulls_last("polygon_id"))
+        return (
+            hits.withColumn("_pip_rn", F.row_number().over(w))
+            .filter(F.col("_pip_rn") == 1)
+            .withColumnRenamed("region", "containing_region")
+            .drop("_pip_rn", "cell")
+        )
+    # general path (key_cols not unique per row): aggregate best match
+    # per key, join back — keeps duplicate-keyed rows intact
     hits = point_in_polygon_join(points, polygons, lon_col, lat_col, res)
     best = hits.groupBy(*key_cols).agg(
         F.min("polygon_id").alias("polygon_id"),
