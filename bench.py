@@ -627,10 +627,18 @@ collected inside the tile legs — 10.6–16.7 s no-GC vs 8.4–9.7 s with,
 same session, steal recorded for both). With both fixes the full
 default bench reproduces the isolated number in-bench: tile legs
 [7.47, 7.92, 12.51] s with steal [155, 959, 2121] — **66.9k img/s**,
-1.36× round-1's 49.2k. The flagship composite runs ~15.5 s vs
-round-2's 12.6 s: added work, not regression — the validator catalog
-grew from ~40 ids to 805 (the round-2 verdict's breadth item) between
-those measurements.
+1.36× round-1's 49.2k. The flagship composite briefly ran ~15.5 s vs
+round-2's 12.6 s after the validator catalog grew from ~40 ids to 805
+(the round-2 verdict's breadth item); two plan fixes recovered it
+BELOW round-2 despite the 20× catalog — quiet-window min-of-3
+**8.4 s** at 60k elements/12k images: (1) `point_in_polygon_tag`
+fused into one LEFT broadcast cover join + row_number window that
+reuses latest_per_key's hash partitioning (was: aggregate-then-
+join-back, which recomputed the points lineage twice around a
+sort-merge self-join — the validated stage now has ONE shuffle, zero
+sort-merge joins), and (2) dim tables built as driver-local
+LocalTableScans so the plan's 11 broadcast dim builds run no
+Python-RDD jobs.
 
 ## Skew evidence (hot cells)
 
