@@ -738,7 +738,13 @@ def spark_regions(spark):
 
 
 def spark_wiki_entities(spark, n: int = N_ENTITIES):
-    return spark.createDataFrame(gen_wiki_entities(n), WIKI_SCHEMA)
+    pdf = gen_wiki_entities(n)
+    # nullable Float64: no-coord rows become SQL NULLs on BOTH the
+    # Arrow and the row-based fallback conversion path (a raw float64
+    # NaN is only nulled by the Arrow path)
+    for c in ("lat", "lon"):
+        pdf[c] = pdf[c].astype("Float64")
+    return spark.createDataFrame(pdf, WIKI_SCHEMA)
 
 
 def spark_error_catalog(spark):

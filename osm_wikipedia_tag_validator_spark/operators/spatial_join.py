@@ -272,18 +272,28 @@ def point_in_polygon_tag(
     lat_col: str = "lat",
     res: int = DEFAULT_RES,
     key_cols: list[str] | None = None,
-    unique_keys: bool = True,
+    unique_keys: bool = False,
 ) -> DataFrame:
     """Left variant: every point row kept once, with the containing
     region/polygon (first by polygon_id order) or NULLs.
 
     Used by the validator for the 'element outside declared region'
     check (the engine's exact replacement for the reference's
-    Nominatim-was-it-in-the-country gate). `unique_keys=True` (the
-    validator's invariant — points come out of latest_per_key)
-    enables the fused one-pass plan; pass False when key_cols may
-    repeat across rows."""
+    Nominatim-was-it-in-the-country gate). Pass `unique_keys=True`
+    ONLY when key_cols are unique per row (the validator's invariant —
+    points come out of latest_per_key): it enables the fused one-pass
+    plan, whose per-key window would silently collapse duplicate-keyed
+    rows. The default join-back path is safe for any input."""
     key_cols = key_cols or ["type", "id"]
+    clash = {"cell", "region"} & set(points.columns)
+    if clash:
+        # the PIP join's output contract appends cell/region columns;
+        # pre-existing ones would be clobbered (fused path) or become
+        # ambiguous (both paths) — fail loudly instead
+        raise ValueError(
+            f"point_in_polygon_tag: points already has column(s) {sorted(clash)}; "
+            "rename them before tagging"
+        )
     if unique_keys:
         # fused single-pass plan: LEFT broadcast cover join (every
         # point row survives with its 0..n candidate matches), then a

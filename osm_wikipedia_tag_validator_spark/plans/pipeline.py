@@ -48,7 +48,9 @@ def build_inputs(spark, n_elements: int = 2000) -> dict[str, DataFrame]:
 def validated_elements(inputs: dict[str, DataFrame], res: int = SJ.DEFAULT_RES) -> DataFrame:
     """Latest snapshot per element → containment flag → validator."""
     latest = UP.latest_per_key(inputs["elements"])
-    tagged = SJ.point_in_polygon_tag(latest, inputs["polygons"], res=res)
+    # unique_keys: latest_per_key guarantees one row per (type, id),
+    # unlocking the fused single-shuffle tag plan
+    tagged = SJ.point_in_polygon_tag(latest, inputs["polygons"], res=res, unique_keys=True)
     flagged = tagged.withColumn(
         "inside_declared_region",
         # unassigned elements have no declared region to contradict

@@ -50,17 +50,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for pandas UDFs and toPandas — the engine's hot path is
         # Arrow-batched vectorized UDFs, never row-at-a-time Python.
-        # Batch size 32768 (vs the 10000 default): the ingest profile is
+        # Batch size 20000 (vs the 10000 default): the ingest profile is
         # per-batch numpy call overhead on small images, so bigger
-        # batches buy ~20% throughput (A/B at 500k images, local[16]:
-        # 28.9k → 35.8k img/s; 65536 regresses). Memory bound: at 64 px
-        # the float32 decode intermediates are ~48 KB/row → ~1.5 GB per
-        # in-flight worker batch worst-case — fits the documented
-        # executor shape; override per job for wider binary payloads.
-        # Encoded bytes are bit-identical across batch sizes by
-        # construction (fixed-order dct8 transform, test_codecs).
+        # batches buy throughput (A/B at 500k images, local[16]:
+        # 28.9k → 33.0k img/s at 20000, ~35.8k at 32768 within noise,
+        # 65536 regresses). The memory bound counts FULL DOP, not one
+        # worker: worst-case 64 px rows cost ~48 KB of float32 decode
+        # intermediates each → ~0.94 GB per in-flight worker batch ×
+        # every concurrent Python worker (×8-core executor ≈ 7.5 GB;
+        # ×local[32] ≈ 30 GB on this box) — 32768 doubles that for a
+        # within-noise gain, so 20000 is the default and jobs with
+        # wider binary payloads should override DOWN per job. Encoded
+        # bytes are bit-identical across batch sizes by construction
+        # (fixed-order dct8 transform, test_codecs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         # Sized so a shuffle partition of the image table (binary col)
         # fits in executor memory at target SF.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -9,8 +9,6 @@ its containing country). This module re-expresses each case over
 DataFrames so the parity is auditable test-by-test.
 """
 
-from pyspark.sql import functions as F
-
 from osm_wikipedia_tag_validator_spark.datagen import world
 from osm_wikipedia_tag_validator_spark.operators import spatial_join as SJ
 from osm_wikipedia_tag_validator_spark.operators.reports import filter_reported_errors

@@ -76,3 +76,37 @@ def test_all_points_inside(spark):
     # some objects must fail (far-point injection) and some pass
     assert pdf["all_inside"].any()
     assert (~pdf["all_inside"]).any()
+
+
+def test_pip_tag_column_collision_raises(spark):
+    pts = spark.createDataFrame(
+        [(1, -10.0, 0.0, "x")], "id long, lon double, lat double, region string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="region"):
+        SJ.point_in_polygon_tag(pts, world.spark_polygons(spark), key_cols=["id"])
+
+
+def test_pip_tag_fused_matches_joinback_and_default_is_safe(spark):
+    """The fused (unique_keys=True) plan equals the join-back default on
+    unique-keyed input; on duplicate-keyed input the DEFAULT keeps
+    every row (the safe contract — the fused path is opt-in precisely
+    because its window would collapse duplicates)."""
+    uniq = spark.createDataFrame(
+        [(1, -10.0, 0.0), (2, 32.0, 9.5), (3, 8.0, 10.0)],
+        "id long, lon double, lat double",
+    )
+    polys = world.spark_polygons(spark)
+    cols = ["id", "polygon_id", "containing_region"]
+    a = SJ.point_in_polygon_tag(uniq, polys, key_cols=["id"], unique_keys=True)
+    b = SJ.point_in_polygon_tag(uniq, polys, key_cols=["id"])
+    pa = a.select(cols).toPandas().sort_values("id").reset_index(drop=True)
+    pb = b.select(cols).toPandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb)
+
+    dup = spark.createDataFrame(
+        [(1, -10.0, 0.0), (1, -10.0, 0.0), (2, 32.0, 9.5)],
+        "id long, lon double, lat double",
+    )
+    assert SJ.point_in_polygon_tag(dup, polys, key_cols=["id"]).count() == 3
