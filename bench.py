@@ -164,11 +164,19 @@ def run_default() -> dict:
     legs: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
-        # min of 3 with all legs recorded: shared-VM steal-time spikes
-        # hit random stages and can inflate a single sub-second query
-        # to several seconds (round-2's tile_assign 4.9 s re-measured at
-        # 0.3–0.7 s steady state); the min is the engine's actual cost
-        # and the published legs are the outlier-discard evidence
+        # one untimed warm leg first — large generated expressions
+        # (pip_convex's ray-cast when-chain most of all) need a C2
+        # compile or two before steady state, same treatment the
+        # flagship and tile composites already get (measured
+        # 2026-08-17: pip_convex legs 6.9/5.9/4.6 s cold-start decline
+        # vs 2.7/2.5/2.1 s after one warm execution, settling to 1.5 s)
+        qs[name](spark, SF_DIR).count()
+        # then min of 3 with all legs recorded: shared-VM steal-time
+        # spikes hit random stages and can inflate a single sub-second
+        # query to several seconds (round-2's tile_assign 4.9 s
+        # re-measured at 0.3–0.7 s steady state); the min is the
+        # engine's actual cost and the published legs are the
+        # outlier-discard evidence
         dts = []
         for _ in range(3):
             t0 = time.time()
@@ -244,7 +252,8 @@ def run_default() -> dict:
         "queries": timings,
         "query_legs": legs,
         "methodology": (
-            "min-of-3 per query (min-of-2 flagship, min-of-3 tile), all legs "
+            "1 untimed JIT-warm leg then min-of-3 per query (min-of-2 "
+            "flagship, min-of-3 tile, both plan-warmed), all legs "
             "+ per-leg steal jiffies recorded"
         ),
         "composite_leg_steal_jiffies": {
