@@ -687,6 +687,32 @@ regime — the k-ring index wins 25× over the only exact alternative
 (`knn_kring` adaptive, `knn_kring_index` forced) against the same
 cross-join SQL, so the delegation can never silently change results.
 
+## spark-submit --py-files smoke (north-rule launch mode)
+
+The north rule names `spark-submit --py-files` as the launch vehicle.
+Verified live 2026-08-17 (the engine ships as a zip; on a cluster the
+same zip goes to executors via `--py-files`, code paths identical):
+
+```
+zip -qr /tmp/engine.zip osm_wikipedia_tag_validator_spark
+spark-submit --master local[8] --py-files /tmp/engine.zip \\
+    scripts/submit_job.py --job flagship --n-elements 5000
+→ {{"job": "flagship", "reports": 2368, "rollup_rows": 9,
+   "tile_rows": 960, "wall_sec": 32.38}}
+
+spark-submit ... --job resumable --checkpoint-dir /tmp/owtv_ledger
+→ run 1: {{"partitions": 8, "skipped": 0, "metrics": [per-partition
+   lineage: {{"partition": "alpha", "n_rows": 893, "rows_per_sec":
+   143.2}}, ... 8 rows], "wall_sec": 54.78}}
+→ run 2 (same ledger): {{"partitions": 8, "skipped": 8,
+   "metrics": [], "wall_sec": 19.01}}   # resumed from checkpoint
+```
+
+Run 2 skipping all 8 partitions is the per-partition checkpoint +
+lineage/metrics resumability the north rule requires. Re-verify with
+`scripts/submit_job.py` (any commit that touches the flagship plan or
+checkpoint ledger should re-run it).
+
 Generated by `python bench.py --scaling`.
 """
     if history and len(history) > 1:
