@@ -188,12 +188,17 @@ def run_default() -> dict:
         total += dt
         print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
 
-    # warm the flagship plan's GENERATED code before timing: the
-    # validator cascade compiles a large when-chain and C2 needs an
-    # execution or two to reach steady state (measured: 32 s cold,
-    # 13 s warm on a quiet box) — the tiny run pays that JIT cost so
-    # the timed legs measure the engine, not the JVM compiler
-    run_flagship(spark, 2000, 1000)
+    # warm the flagship plan's GENERATED code before timing, AT FULL
+    # SIZE: the validator cascade compiles a large when-chain and C2
+    # needs an execution or two of the plan that actually runs to
+    # reach steady state. A tiny (2000-element) warm run is no longer
+    # sufficient — AQE finalizes different physical plans at 2k vs 60k
+    # rows, so the big plan's generated code stayed cold and the first
+    # full-size leg paid 30-45 s vs a 13-18 s steady state (measured
+    # 2026-08-18: legs 46.5 s then 12.9 s in the same session, steal
+    # recorded for both). One untimed full-size leg pays that cost so
+    # the timed legs measure the engine, not the JVM compiler.
+    run_flagship(spark, FLAGSHIP_ELEMENTS, FLAGSHIP_IMAGES)
 
     # co-tenant contamination evidence: every composite leg records the
     # host's hypervisor-steal delta (/proc/stat cpu field 9) around it.
@@ -222,10 +227,12 @@ def run_default() -> dict:
         spark.sparkContext._jvm.System.gc()
         time.sleep(2)
 
-    # min of 2 for the flagship composite (each leg is 10-20 s)
+    # min of 3 for the flagship composite (each leg is 13-18 s once
+    # warm; a single shared-VM steal burst can double one leg, so two
+    # legs aren't enough outlier protection for the round headline)
     _settle()
     flag_runs, flag_steal = _timed_legs(
-        lambda: run_flagship(spark, FLAGSHIP_ELEMENTS, FLAGSHIP_IMAGES), 2
+        lambda: run_flagship(spark, FLAGSHIP_ELEMENTS, FLAGSHIP_IMAGES), 3
     )
     flag = min(flag_runs, key=lambda r: r["wall_sec"])
 
@@ -252,9 +259,9 @@ def run_default() -> dict:
         "queries": timings,
         "query_legs": legs,
         "methodology": (
-            "1 untimed JIT-warm leg then min-of-3 per query (min-of-2 "
-            "flagship, min-of-3 tile, both plan-warmed), all legs "
-            "+ per-leg steal jiffies recorded"
+            "1 untimed JIT-warm leg then min-of-3 per query (flagship "
+            "and tile composites min-of-3 after a FULL-SIZE untimed "
+            "warm leg), all legs + per-leg steal jiffies recorded"
         ),
         "composite_leg_steal_jiffies": {
             "flagship_spatial": flag_steal,
