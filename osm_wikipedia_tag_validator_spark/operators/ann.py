@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..session import tracked_broadcast
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -99,7 +101,9 @@ def cosine_topk_fast(
             exclude_self=exclude_self,
         )
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    bc = queries.sparkSession.sparkContext.broadcast((ids, Mn))
+    bc = tracked_broadcast(
+        queries.sparkSession.sparkContext, (ids, Mn), "ann_corpus_matrix"
+    )
 
     out_schema = f"{q_id} long, neighbor_id long, cosine double, rank int"
 

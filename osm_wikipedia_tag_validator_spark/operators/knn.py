@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions import cells as C
+from ..session import tracked_broadcast
 
 EARTH_R_KM = 6371.0088
 
@@ -101,7 +102,11 @@ def knn_bruteforce(
     # SparkContext.broadcast ships the matrix once per executor; a plain
     # closure capture re-serializes it into every task — the difference
     # is |matrix| × tasks of network at 1000 executors
-    bc = queries.sparkSession.sparkContext.broadcast((e_keys, e_lons, e_lats))
+    bc = tracked_broadcast(
+        queries.sparkSession.sparkContext,
+        (e_keys, e_lons, e_lats),
+        "knn_entity_matrix",
+    )
 
     key_field = [f for f in queries.select(q_key).schema.fields][0]
     out_schema = (

@@ -302,8 +302,16 @@ def challenge_sync_plan(
     broadcast for the anti-join. No driver-side iteration.
     """
     cand = candidates.select("error_id", "osm_object_url").dropDuplicates()
-    live = mr_tasks.filter(F.lower(F.col("status")) != "deleted").select(
-        "error_id", "osm_object_url", F.lower(F.col("status")).alias("status")
+    # a NULL status is an EXISTING task of unknown state, not an absent
+    # one: keep it (lower(NULL) != 'deleted' is NULL and a bare filter
+    # would drop the row, re-creating a live task) under a sentinel that
+    # matches no action bucket, so the task is left alone
+    live = mr_tasks.filter(
+        F.coalesce(F.lower(F.col("status")), F.lit("")) != "deleted"
+    ).select(
+        "error_id",
+        "osm_object_url",
+        F.coalesce(F.lower(F.col("status")), F.lit("unknown")).alias("status"),
     )
     full = live.join(
         cand.withColumn("_is_cand", F.lit(True)),

@@ -271,7 +271,9 @@ def extract_wiki_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
                                         wikipedia/wikidata keys at all
       sec_wikipedia_key/-value,
       sec_wikidata_key/-value           first prefixed key OUTSIDE the
-                                        validated pair (plain pair only)
+                                        validated pair (for a prefixed
+                                        pair: first key of a different
+                                        family)
       old_style_wikipedia_key/-value    `wikipedia:<lang>` (invalid old
                                         form)
       wikipedia_lang/-article           split of the pair's wp payload
@@ -329,8 +331,29 @@ def extract_wiki_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
             F.concat(pair_prefix, F.lit(":wikidata"))
         ),
     )
-    sec_wp_key = F.when(pair_prefix == "", F.get(wp_pref_keys, 0))
-    sec_wd_key = F.when(pair_prefix == "", F.get(wd_pref_keys, 0))
+    # first prefixed key OUTSIDE the validated pair: for a plain pair
+    # that is any prefixed key; for a prefixed pair, the first key of
+    # a DIFFERENT family (the reference validates each key family
+    # independently — without this, a second prefixed family on a
+    # prefixed-pair element would escape the shape/404 checks)
+    sec_wp_key = F.when(pair_prefix == "", F.get(wp_pref_keys, 0)).otherwise(
+        F.get(
+            F.filter(
+                wp_pref_keys,
+                lambda k: k != F.concat(pair_prefix, F.lit(":wikipedia")),
+            ),
+            0,
+        )
+    )
+    sec_wd_key = F.when(pair_prefix == "", F.get(wd_pref_keys, 0)).otherwise(
+        F.get(
+            F.filter(
+                wd_pref_keys,
+                lambda k: k != F.concat(pair_prefix, F.lit(":wikidata")),
+            ),
+            0,
+        )
+    )
     old_keys = F.filter(
         F.map_keys(t), lambda k: k.rlike("^wikipedia:[a-z]{2,3}$")
     )
@@ -385,6 +408,11 @@ def join_wiki_entities(elements: DataFrame, wiki: DataFrame) -> DataFrame:
             "instance_of string, secondary_phrase string",
         )
     )
+    # join the phrase dim only into the two selections that read
+    # secondary_phrase; the redirect-target and secondary-existence
+    # dims never use it, and Catalyst cannot prune a left join out of
+    # their lineage without uniqueness knowledge
+    wiki_raw = wiki
     wiki = wiki.join(phrase_dim, "instance_of", "left")
     wp = F.broadcast(
         wiki.select(
@@ -410,7 +438,7 @@ def join_wiki_entities(elements: DataFrame, wiki: DataFrame) -> DataFrame:
         )
     )
     redir = F.broadcast(
-        wiki.select(
+        wiki_raw.select(
             F.col("qid").alias("wp_redirect_to"),
             F.col("article").alias("wp_redirect_article"),
         )
@@ -419,7 +447,7 @@ def join_wiki_entities(elements: DataFrame, wiki: DataFrame) -> DataFrame:
     # links to 404' checks prefixed wikidata keys OUTSIDE the validated
     # pair too)
     sec = F.broadcast(
-        wiki.select(
+        wiki_raw.select(
             F.col("qid").alias("sec_wikidata_value"),
             F.col("exists").alias("sec_wd_exists"),
         )
@@ -534,6 +562,8 @@ def build_rules(
     _is_info_board = (F.try_element_at(_t, F.lit("tourism")) == "information") & (
         F.try_element_at(_t, F.lit("information")) == "board"
     )
+    _bridge_wp = F.try_element_at(_t, F.lit("bridge:wikipedia"))
+    _bridge_wd = F.try_element_at(_t, F.lit("bridge:wikidata"))
 
     # which prefixed key carries a malformed payload — the validated
     # pair's (prefixed pair) or the out-of-pair secondary key
@@ -633,13 +663,22 @@ def build_rules(
         # move to bridge outline'); fires for a WELL-FORMED bridge pair
         # on an element that is not itself the outline (man_made=
         # bridge) — malformed/404/mismatch diagnoses above outrank it
+        # fires on the PRESENCE of bridge:* keys, not on bridge being
+        # the validated pair — the reference reports per key family, so
+        # an element that also carries a plain pair (or an
+        # alphabetically earlier prefix) still gets the complaint;
+        # higher-priority diagnoses on the validated pair outrank it
+        # under the engine's one-error-per-element semantics
         "bridge_outline": (
-            (pair_prefix == "bridge")
-            & (F.try_element_at(F.col("tags"), F.lit("man_made")).isNull()
-               | (F.try_element_at(F.col("tags"), F.lit("man_made")) != "bridge")),
+            (_bridge_wp.isNotNull() | _bridge_wd.isNotNull())
+            & (F.try_element_at(_t, F.lit("man_made")).isNull()
+               | (F.try_element_at(_t, F.lit("man_made")) != "bridge")),
             F.concat(
-                F.when(has_wp & has_wd, F.lit("bridge:wikipedia and bridge:wikidata"))
-                .when(has_wp, F.lit("bridge:wikipedia"))
+                F.when(
+                    _bridge_wp.isNotNull() & _bridge_wd.isNotNull(),
+                    F.lit("bridge:wikipedia and bridge:wikidata"),
+                )
+                .when(_bridge_wp.isNotNull(), F.lit("bridge:wikipedia"))
                 .otherwise(F.lit("bridge:wikidata")),
                 F.lit(" - move to bridge outline"),
             ),
@@ -778,16 +817,29 @@ def build_report(df: DataFrame) -> DataFrame:
     url = F.concat(
         F.lit("https://www.openstreetmap.org/"), F.col("type"), F.lit("/"), F.col("id")
     )
-    prereq = F.map_filter(
-        F.create_map(
-            F.lit("wikipedia"), F.col("wikipedia_tag"),
-            F.lit("wikidata"), F.col("wikidata_tag"),
-        ),
-        lambda k, v: v.isNotNull(),
-    )
     err = F.col("error_id")
     used_wd = F.col("used_wikidata_key")
     used_wp = F.col("used_primary_wikipedia_key")
+    # prerequisite keys are the ACTUAL validated keys — for a prefixed
+    # pair the payload lives under e.g. subject:wikipedia, and
+    # prerequisite_still_holds looks the map keys up in the live
+    # element's tags, so literal 'wikipedia'/'wikidata' keys would
+    # spuriously invalidate every prefixed-pair task. The used_* key is
+    # NULL exactly when its payload is NULL (both sides filtered out),
+    # so the coalesce fallback never surfaces in the map.
+    prereq = F.map_filter(
+        F.create_map(
+            F.coalesce(used_wp, F.lit("wikipedia")), F.col("wikipedia_tag"),
+            F.coalesce(used_wd, F.lit("wikidata")), F.col("wikidata_tag"),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    # prefixed pairs generate ids suffixed ' - for {prefix} prefixed
+    # tags' (error_catalog.PREFIXED_VARIANTS); proposed-change dispatch
+    # matches on the stripped stem so e.g. the brand-prefixed
+    # follow-redirect class carries the same from/to change as the
+    # plain one (the reference's obvious-fix contract)
+    err_stem = F.regexp_replace(err, " - for .+ prefixed tags$", "")
     old_key = F.col("old_style_wikipedia_key")
     old_val = F.col("old_style_wikipedia_value")
 
@@ -801,14 +853,14 @@ def build_report(df: DataFrame) -> DataFrame:
 
     changes = (
         F.when(
-            err.isin(
+            err_stem.isin(
                 "wikidata tag links to a redirect",
                 "wikipedia wikidata mismatch - follow wikidata redirect",
             ),
             _change(used_wd, F.col("wikidata_tag"), F.col("wd_redirect_to")),
         )
         .when(
-            err.isin(
+            err_stem.isin(
                 "wikipedia tag links to a redirect",
                 "wikipedia wikidata mismatch - follow wikipedia redirect",
             )

@@ -105,3 +105,27 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+# single-slot registry for operator-owned SparkContext broadcasts
+# (kNN entity matrix, ANN corpus matrix): repeated calls — a bench
+# loop runs each operator 4x — would otherwise pin one full matrix
+# per call in executor block-manager memory for the session lifetime.
+_TRACKED_BROADCASTS: dict[str, object] = {}
+
+
+def tracked_broadcast(sc, value, slot: str):
+    """``SparkContext.broadcast`` with a one-per-slot lifecycle: a new
+    broadcast in the same slot first unpersists the previous one's
+    executor copies (non-blocking — an older plan that still references
+    it re-fetches from the driver on next use, so correctness is
+    unaffected), bounding block-manager growth under repeated calls."""
+    prev = _TRACKED_BROADCASTS.get(slot)
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:
+            pass  # context already stopped / broadcast already gone
+    bc = sc.broadcast(value)
+    _TRACKED_BROADCASTS[slot] = bc
+    return bc
