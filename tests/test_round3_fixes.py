@@ -170,3 +170,87 @@ def test_latest_per_key_with_nested_map_schema(spark):
     # determinism across shuffles: same winner on a repartitioned input
     again = latest_per_key(df.repartition(7)).toPandas().sort_values(["type", "id"])
     assert [str(c) for c in got["changes"]] == [str(c) for c in again["changes"]]
+
+
+# --- prefixed-pair report semantics + NULL-status sync ---------------
+
+def _mini_validate(spark, tags):
+    from osm_wikipedia_tag_validator_spark.operators import validator as V
+    from tests.test_upsert_validator import _elem, _mini_world
+
+    regions, wiki = _mini_world(spark)
+    return V.validate(_elem(spark, tags), wiki, regions).toPandas()
+
+
+def test_prefixed_pair_prerequisite_uses_actual_keys(spark):
+    """prerequisite_still_holds looks keys up in the live element's
+    tags, so a prefixed pair must list the PREFIXED key names
+    (reference reports per validated key family,
+    generate_webpage_with_error_output.py:216-234)."""
+    out = _mini_validate(
+        spark, {"sculptor:wikipedia": "en:Good", "sculptor:wikidata": "Q2"}
+    )
+    assert len(out) == 1
+    rep = out["report"].iloc[0]
+    assert rep["error_id"].endswith("- for sculptor prefixed tags")
+    assert set(rep["prerequisite"].keys()) == {
+        "sculptor:wikipedia",
+        "sculptor:wikidata",
+    }
+
+
+def test_prefixed_redirect_class_carries_proposed_change(spark):
+    """The obvious-fix contract extends to prefixed variants: the
+    stem-matched dispatch emits the same from/to map under the
+    prefixed key."""
+    out = _mini_validate(
+        spark, {"sculptor:wikipedia": "en:Redirecting", "sculptor:wikidata": "Q1"}
+    )
+    assert len(out) == 1
+    rep = out["report"].iloc[0]
+    assert rep["error_id"] == (
+        "wikipedia wikidata mismatch - follow wikipedia redirect"
+        " - for sculptor prefixed tags"
+    )
+    ch = rep["proposed_tagging_changes"][0]
+    assert ch["from"] == {"sculptor:wikipedia": "en:Redirecting"}
+    assert ch["to"] == {"sculptor:wikipedia": "en:Good"}
+
+
+def test_second_prefixed_family_still_validated(spark):
+    """A prefixed-pair element carrying a SECOND prefixed family gets
+    the out-of-pair shape check on that family (round-3 fix: secondary
+    keys were only extracted when the validated pair was plain)."""
+    out = _mini_validate(
+        spark,
+        {
+            "architect:wikipedia": "en:Good",
+            "architect:wikidata": "Q1",
+            "subject:wikidata": "banana",
+        },
+    )
+    assert len(out) == 1
+    assert (
+        out["error_id"].iloc[0]
+        == "malformed secondary wikidata tag - for subject prefixed tags"
+    )
+
+
+def test_challenge_sync_null_status_left_alone(spark):
+    """A NULL-status MR task is an EXISTING task of unknown state: it
+    must not be re-created (treated absent) nor deleted (treated
+    live-shown stale)."""
+    from osm_wikipedia_tag_validator_spark.operators import reports as R
+
+    candidates = spark.createDataFrame(
+        [("e1", "u1")], "error_id string, osm_object_url string"
+    )
+    challenges = spark.createDataFrame([("e1",)], "error_id string")
+    mr_tasks = spark.createDataFrame(
+        [("e1", "u1", None), ("e1", "u2", None)],
+        "error_id string, osm_object_url string, status string",
+    )
+    plan = R.challenge_sync_plan(candidates, challenges, mr_tasks).toPandas()
+    # u1: candidate already tracked (unknown) -> no action;
+    # u2: stale but not provably live-shown -> no delete
+    assert len(plan) == 0
