@@ -71,6 +71,12 @@ SECONDARY_CLASS_PHRASES, SECONDARY_CLASS_CATEGORY = phrase_tables()
 # `script.py:350-358`: `expected_language_code` +
 # `languages_ordered_by_preference=[language_code]`; wrong-language
 # family `generate_webpage_with_error_output.py:277-293,486-493`).
+# The ctor's remaining flags are constants in the reference —
+# `allow_false_positives=False` and
+# `allow_requesting_edits_outside_osm=False` (`script.py:356-357`,
+# never True anywhere) — so the cascade models exactly that
+# configuration: high-false-positive classes are emitted only via
+# their routed ignored/tests categories, never promoted.
 # Canonical wikipedia language codes the engine recognizes — datagen
 # mirrors this list; on a cluster this is the full sitematrix.
 KNOWN_WIKIPEDIA_LANGS = ["en", "de", "pl", "fr", "es"]
