@@ -44,10 +44,31 @@ from ..functions import geometry as G
 DEFAULT_RES = 7  # ~0.35° cells over the synthetic world; tune per dataset
 
 
+# polygon-dim rows beyond this are a misuse of the broadcast PIP paths
+# (regions_processed.yaml is 1218 rows; even a worldwide admin set is
+# ~10^5) — raise before an unbounded collect can OOM the driver
+MAX_POLYGON_DIM_ROWS = 100_000
+
+
 def collect_polygons(polygons: DataFrame) -> list[dict]:
     """Driver-side materialization of the polygon dim (small by design,
-    like regions_processed.yaml's 1218 rows)."""
-    rows = polygons.select("region", "polygon_id", "rings").collect()
+    like regions_processed.yaml's 1218 rows). Guarded like the kNN/ANN
+    matrix collects, but folded into the collect itself: the LIMIT
+    bounds the driver transfer to MAX+1 rows in the SAME job (no extra
+    probe job in the hot path), so an accidentally-huge dim fails fast
+    with a clear error instead of an unbounded ``collect`` OOM."""
+    rows = (
+        polygons.select("region", "polygon_id", "rings")
+        .limit(MAX_POLYGON_DIM_ROWS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_POLYGON_DIM_ROWS:
+        raise ValueError(
+            f"polygon dim exceeds {MAX_POLYGON_DIM_ROWS} rows; the "
+            "broadcast PIP paths require a dim-sized polygon table — "
+            "partition the polygon set or raise MAX_POLYGON_DIM_ROWS "
+            "deliberately"
+        )
     out = []
     for r in rows:
         rings = [

@@ -254,3 +254,21 @@ def test_challenge_sync_null_status_left_alone(spark):
     # u1: candidate already tracked (unknown) -> no action;
     # u2: stale but not provably live-shown -> no delete
     assert len(plan) == 0
+
+
+def test_collect_polygons_size_guard(spark, monkeypatch):
+    """An over-limit polygon dim fails fast with a clear error instead
+    of an unbounded driver collect (same guard class as kNN/ANN)."""
+    from osm_wikipedia_tag_validator_spark.operators import spatial_join as SJ
+
+    ring = [{"lon": 0.0, "lat": 0.0}, {"lon": 1.0, "lat": 0.0}, {"lon": 0.0, "lat": 1.0}]
+    polys = spark.createDataFrame(
+        [(f"r{i}", f"p{i}", [ring]) for i in range(5)],
+        "region string, polygon_id string, "
+        "rings array<array<struct<lon:double,lat:double>>>",
+    )
+    monkeypatch.setattr(SJ, "MAX_POLYGON_DIM_ROWS", 3)
+    with pytest.raises(ValueError, match="polygon dim exceeds"):
+        SJ.collect_polygons(polys)
+    monkeypatch.setattr(SJ, "MAX_POLYGON_DIM_ROWS", 5)
+    assert len(SJ.collect_polygons(polys)) == 5
