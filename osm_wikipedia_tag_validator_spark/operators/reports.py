@@ -206,6 +206,12 @@ def featured_rotation(
         bigger challenge (:461-463);
       * running out of pool entries raises, like the reference (:472-476).
 
+    Deliberate divergence: the reference's exhaustion check runs
+    unconditionally at the bottom of each loop iteration (:472-474), so
+    filling the LAST slot with the LAST pool entry still raises —
+    aborting after the featured flags were already set over HTTP. Here
+    that fill succeeds; only a genuinely unfilled quota raises.
+
     Physical shape: the per-challenge active-task counts are ONE
     distributed aggregate over the (arbitrarily large) task table; the
     rotation walk itself is driver-side over the collected aggregate,

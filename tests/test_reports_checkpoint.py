@@ -240,3 +240,24 @@ def test_challenge_sync_plan(spark):
         ("delete_task", "e1", "u5"),
         ("create_challenge", "e2", None),
     }
+
+
+def test_featured_rotation_fill_on_last_pool_entry_succeeds(spark):
+    """Documented divergence from the reference: its exhaustion check
+    runs unconditionally at the loop bottom
+    (`maproulette_challenge_creation.py:472-474`), so filling the final
+    slot with the FINAL pool entry still raises there. Here it
+    succeeds — only a genuinely unfilled quota raises."""
+    from osm_wikipedia_tag_validator_spark.operators import reports as R
+
+    df = spark.createDataFrame(
+        [("a", "created")] * 30 + [("b", "created")] * 30,
+        "error_id string, status string",
+    )
+    out = (
+        R.featured_rotation(df, ["a", "b"], min_total_tasks=50)
+        .toPandas()
+        .set_index("error_id")
+    )
+    assert out.loc["a", "featured"] and out.loc["b", "featured"]
+    assert out.loc["b", "rotation_rank"] == 2
