@@ -117,10 +117,14 @@ def rate_limited_batch(batch_df: DataFrame, quota: int,
     maxFilesPerTrigger (`stream_events_from_files`), actuation by this
     cap inside foreachBatch, and wall-time by a processingTime trigger —
     together they bound actions/second exactly like the sleeps, without
-    idling executors. Rows beyond the quota are NOT dropped: the
-    overflow count is returned for the caller's ledger, and unconsumed
-    rows stay for the next poll cycle (the reference re-reads pending
-    tasks each loop the same way)."""
+    idling executors. The overflow count is returned for the caller's
+    ledger; the over-quota remainder must be RE-ENQUEUED by the caller
+    (Spark's file/Kafka sources commit each batch exactly-once and
+    never re-deliver it — "wait for the next poll" is not a semantics
+    the source provides; the reference gets re-delivery by re-reading
+    its pending table every loop,
+    `osm_editor_bot_for_approved_tasks.py:488-512`).
+    `rate_limited_sink`'s `defer_fn` is that re-enqueue hook."""
     order_cols = order_cols or batch_df.columns[:1]
     take = batch_df.orderBy(*order_cols).limit(quota)
     total = batch_df.count()
@@ -130,18 +134,31 @@ def rate_limited_batch(batch_df: DataFrame, quota: int,
 def rate_limited_sink(stream_df: DataFrame, sink_fn, quota_per_batch: int,
                       processing_interval: str | None = None,
                       order_cols: list[str] | None = None,
-                      query_name: str = "rate_limited"):
+                      query_name: str = "rate_limited",
+                      defer_fn=None):
     """writeStream wrapper: at most `quota_per_batch` rows reach
     `sink_fn(df, batch_id)` per trigger; `processing_interval` (e.g.
-    '60 seconds') bounds trigger frequency → rows/sec ≤ quota/interval."""
+    '60 seconds') bounds trigger frequency → rows/sec ≤ quota/interval.
+
+    `defer_fn(df, batch_id)` receives the over-quota remainder for
+    re-enqueueing into the pending store (the reference's re-read-each-
+    loop semantics); without it the remainder is DROPPED from this
+    stream — the source will not re-deliver a committed batch — and
+    the drop is logged."""
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
         take, overflow = rate_limited_batch(batch_df, quota_per_batch, order_cols)
         sink_fn(take, batch_id)
         if overflow:
-            # surfaced in logs/metrics; rows remain in the source for
-            # re-delivery on the next poll (file source re-lists)
+            if defer_fn is not None:
+                cols = order_cols or batch_df.columns[:1]
+                rest = (
+                    batch_df.orderBy(*cols)
+                    .offset(quota_per_batch)
+                )
+                defer_fn(rest, batch_id)
             print(f"rate_limited_sink[{query_name}] batch {batch_id}: "
-                  f"deferred {overflow} rows over quota {quota_per_batch}")
+                  f"{'deferred' if defer_fn else 'DROPPED'} {overflow} rows "
+                  f"over quota {quota_per_batch}")
 
     w = stream_df.writeStream.foreachBatch(_on_batch).queryName(query_name)
     if processing_interval:

@@ -189,3 +189,34 @@ def test_streaming_image_feature_ingest(spark, tmp_path):
     assert (streamed["image_id"] == batch["image_id"]).all()
     assert (streamed["decoded_phash"] == batch["decoded_phash"]).all()
     assert (streamed["mean_luma"] == batch["mean_luma"]).all()
+
+
+def test_rate_limited_sink_defer_hook(spark, tmp_path):
+    """Each trigger: at most `quota` rows reach the sink, the over-quota
+    remainder reaches `defer_fn` (sink ∪ defer == batch, disjoint) —
+    the re-enqueue hook standing in for the reference's re-read-each-
+    loop pending table."""
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    src = str(tmp_path / "rl_src")
+    df.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sunk, deferred = [], []
+    q = SE.rate_limited_sink(
+        stream,
+        lambda d, b: sunk.extend(r["id"] for r in d.collect()),
+        quota_per_batch=4,
+        order_cols=["id"],
+        defer_fn=lambda d, b: deferred.extend(r["id"] for r in d.collect()),
+        query_name="rl_test",
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(sunk) == [0, 1, 2, 3]          # deterministic lowest-first
+    assert sorted(deferred) == [4, 5, 6, 7, 8, 9]
+    assert set(sunk).isdisjoint(deferred)
