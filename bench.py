@@ -527,10 +527,13 @@ def _history_summary(history: list[dict] | None) -> str:
     ctrl = [h["value_4_to_16"] for h in history if "value_4_to_16" in h]
     ctrl_note = ""
     if ctrl:
+        recent = ctrl[-3:]
         ctrl_note = (
             f" Median steal-bias-controlled 4→16 efficiency across the "
             f"{len(ctrl)} runs that measured it: {_med(ctrl)} "
-            f"({sum(1 for v in ctrl if v >= 0.8)}/{len(ctrl)} ≥ 0.8)."
+            f"({sum(1 for v in ctrl if v >= 0.8)}/{len(ctrl)} ≥ 0.8; "
+            f"last 3 runs: {recent}, "
+            f"{sum(1 for v in recent if v >= 0.8)}/3 ≥ 0.8)."
         )
     # ceiling-relative ratios are CONTEXT, not the criterion: a ratio
     # > 1 means the probe did not bind the job (probe mismatch), so it
