@@ -725,15 +725,17 @@ cross-join SQL, so the delegation can never silently change results.
 ## spark-submit --py-files smoke (north-rule launch mode)
 
 The north rule names `spark-submit --py-files` as the launch vehicle.
-Verified live 2026-08-17 (the engine ships as a zip; on a cluster the
-same zip goes to executors via `--py-files`, code paths identical):
+Verified live 2026-08-18 after the prefixed-pair validator fixes (the
+engine ships as a zip; on a cluster the same zip goes to executors via
+`--py-files`, code paths identical — report count moved 2368 → 2377
+with the second-prefixed-family checks):
 
 ```
 zip -qr /tmp/engine.zip osm_wikipedia_tag_validator_spark
 spark-submit --master local[8] --py-files /tmp/engine.zip \\
     scripts/submit_job.py --job flagship --n-elements 5000
-→ {{"job": "flagship", "reports": 2368, "rollup_rows": 9,
-   "tile_rows": 960, "wall_sec": 32.38}}
+→ {{"job": "flagship", "reports": 2377, "rollup_rows": 9,
+   "tile_rows": 960, "wall_sec": 24.06}}
 
 spark-submit ... --job resumable --checkpoint-dir /tmp/owtv_ledger
 → run 1: {{"partitions": 8, "skipped": 0, "metrics": [per-partition
