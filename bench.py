@@ -34,16 +34,13 @@ HEADLINE = [
     "latest_order_per_customer",  # window dedup (W1)
     "topk_per_group",         # window top-k (W3)
     "sessionize",             # gap sessionization
-    "cell_encode",            # DGG encode (spatial, codegen)
-    "tile_assign",            # XYZ tiling
+    "cell_tile_assign",       # DGG encode + XYZ tiling (merged oracle, r4)
     "bbox_join",              # spatial range join
     "pip_convex",             # cell-cover + ray-cast PIP
     "knn",                    # kNN brute-force physical op
     "knn_kring",              # kNN adaptive planner (delegates: small entity side)
     "knn_kring_index",        # kNN genuine k-ring index path (forced)
-    "token_count",            # text natives
-    "quality_score",          # text quality
-    "fingerprint",            # exact-dedup hash
+    "text_metrics",           # text natives: tokens + quality + md5 (merged oracle, r4)
     "minhash_pairs",          # MinHash LSH near-dup
     "simhash_pairs",          # SimHash near-dup
     "embedding_topk_fast",    # ANN exact top-k, matmul-per-Arrow-batch scale path
