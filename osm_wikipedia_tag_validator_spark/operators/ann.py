@@ -91,14 +91,20 @@ def cosine_topk_fast(
     no-op) and detects overflow — a separate count pre-check would
     re-run the corpus lineage (scans/joins/decodes) twice per call.
     On overflow the partial pull is discarded and we fall back to
-    `cosine_topk_native`, whose broadcast nested loop stays JVM-side —
-    same output, same tie-breaks."""
+    `cosine_topk_blocked` — block-partitioned exact top-k with NO
+    driver collect and NO full-corpus broadcast (the old
+    broadcast-nested-loop fallback shipped the very corpus the limit
+    deemed too large to every executor) — same output, same
+    tie-breaks."""
     ids, M = _collect_matrix(corpus.limit(max_inline_corpus + 1), c_id, c_vec)
     if len(ids) > max_inline_corpus:
-        return cosine_topk_native(
+        return cosine_topk_blocked(
             queries, corpus, k,
             q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec,
             exclude_self=exclude_self,
+            # block size bounds TASK memory, not driver memory — cap it
+            # well under the driver-collect guard
+            block_rows=min(max_inline_corpus, 65536),
         )
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     bc = tracked_broadcast(
@@ -138,6 +144,118 @@ def cosine_topk_fast(
             yield pd.DataFrame(rows)
 
     return queries.select(q_id, q_vec).mapInPandas(topk, out_schema)
+
+
+def cosine_topk_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    exclude_self: bool = True,
+    block_rows: int = 65536,
+) -> DataFrame:
+    """Exact top-k for corpora too large to broadcast or collect:
+    block nested loop as a cogroup.
+
+    Both sides are hash-blocked (xxhash64(id) % n_blocks — deterministic,
+    uniform), each side replicated across the OTHER side's block ids, and
+    every (qblock, cblock) pair meets exactly once in a
+    ``cogroup().applyInPandas`` task that computes a bounded matmul and
+    emits a per-query LOCAL top-k. A window over qid then merges block
+    candidates into the global top-k — exact, because each block's local
+    top-k is a superset of that block's contribution to the global
+    answer. Nothing is collected to the driver and no full-corpus
+    broadcast exists; shuffle volume is the textbook block-nested-loop
+    n_qblocks·|C| + n_cblocks·|Q|, which is the honest cost of EXACT
+    search at scale (the sublinear path is `ivf_topk`).
+
+    Per-task memory is one query block + one corpus block + a
+    chunk×block score matrix (queries are chunked inside the task so the
+    scores stay ≤ ~256 MB regardless of `block_rows`).
+
+    Same rounding (6 dp before ranking) and tie-breaks (cosine desc,
+    cid asc) as `cosine_topk_fast`/`cosine_topk_native` — byte-identical
+    output."""
+    n_c = corpus.count()
+    n_q = queries.count()
+    n_cblk = max(1, -(-n_c // block_rows))
+    n_qblk = max(1, -(-n_q // block_rows))
+
+    qt = queries.schema[q_id].dataType.simpleString()
+    ct = corpus.schema[c_id].dataType.simpleString()
+
+    qb = queries.select(
+        F.col(q_id).alias("qid"), _as_double(q_vec).alias("qv")
+    ).withColumn("qblk", F.pmod(F.xxhash64("qid"), F.lit(n_qblk)).cast("int"))
+    cb = corpus.select(
+        F.col(c_id).alias("cid"), _as_double(c_vec).alias("cv")
+    ).withColumn("cblk", F.pmod(F.xxhash64("cid"), F.lit(n_cblk)).cast("int"))
+
+    # replicate each side across the other's block ids with a narrow
+    # explode (no join node, no broadcast) so cogroup keys cover the
+    # full cross of block pairs
+    qrep = qb.withColumn(
+        "cblk",
+        F.explode(F.sequence(F.lit(0).cast("int"), F.lit(n_cblk - 1).cast("int"))),
+    )
+    crep = cb.withColumn(
+        "qblk",
+        F.explode(F.sequence(F.lit(0).cast("int"), F.lit(n_qblk - 1).cast("int"))),
+    )
+
+    score_budget = 32 * 1024 * 1024  # float64 cells ≈ 256 MB
+
+    def local_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"qid": [], "cid": [], "cosine": []})
+        M = np.vstack(right["cv"].to_numpy()).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        cids = right["cid"].to_numpy()
+        qids = left["qid"].to_numpy()
+        Q = np.vstack(left["qv"].to_numpy()).astype(np.float64)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        kk = min(k, len(cids))
+        cid_pos = {v: i for i, v in enumerate(cids)} if exclude_self else None
+        chunk = max(1, score_budget // max(1, len(cids)))
+        out_q, out_c, out_s = [], [], []
+        for lo in range(0, len(qids), chunk):
+            hi = min(lo + chunk, len(qids))
+            S = np.round(Qn[lo:hi] @ Mn.T, 6)
+            if exclude_self:
+                for r in range(lo, hi):
+                    p = cid_pos.get(qids[r])
+                    if p is not None:
+                        S[r - lo, p] = -np.inf
+            part = (
+                np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+                if kk < S.shape[1]
+                else np.tile(np.arange(S.shape[1]), (S.shape[0], 1))
+            )
+            for r in range(hi - lo):
+                cand = part[r]
+                order = np.lexsort((cids[cand], -S[r, cand]))
+                sel = cand[order]
+                keep = S[r, sel] > -np.inf
+                sel = sel[keep]
+                out_q.extend([qids[lo + r]] * len(sel))
+                out_c.extend(cids[sel])
+                out_s.extend(S[r, sel])
+        return pd.DataFrame({"qid": out_q, "cid": out_c, "cosine": out_s})
+
+    local = (
+        qrep.groupBy("qblk", "cblk")
+        .cogroup(crep.groupBy("qblk", "cblk"))
+        .applyInPandas(local_topk, f"qid {qt}, cid {ct}, cosine double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(q_id), F.col("cid").alias("neighbor_id"), "cosine", "rank")
+    )
 
 
 def kmeans_centroids(

@@ -77,17 +77,25 @@ def knn_bruteforce(
         F.col(q_lat).alias("_q_lat"),
     )
     # a single-file source would run the whole top-k in one task; give
-    # the map-side stage enough splits to use the cluster (no-op when
-    # the fact side already has them)
+    # the map-side stage enough splits to use the cluster. Plan-side
+    # probe only (inputFiles walks the scan's file index — no job, no
+    # RDD materialization): a file-backed side with fewer files than
+    # cores is the case that needs fanning out; non-file sides
+    # (createDataFrame, shuffles upstream) already carry
+    # defaultParallelism-ish partitioning.
     par = queries.sparkSession.sparkContext.defaultParallelism
-    if q.rdd.getNumPartitions() < par:
+    files = queries.inputFiles()
+    if files and len(files) < par:
         q = q.repartition(par)
     # size check BEFORE collecting: an over-limit entity table must never
     # reach toPandas() — that driver materialization is exactly what the
     # threshold protects against (limit+count touches only the first
     # max_inline_entities+1 rows, it never pulls data to the driver)
     if entities.limit(max_inline_entities + 1).count() > max_inline_entities:
-        return _knn_crossjoin_window(q, entities, k, q_key, e_key, e_lon, e_lat)
+        return _knn_blocked(
+            q, entities, k, q_key, e_key, e_lon, e_lat,
+            block_rows=min(max_inline_entities, 65536),
+        )
     ent_pdf = (
         entities.select(
             F.col(e_key).alias("k"), F.col(e_lon).alias("lon"), F.col(e_lat).alias("lat")
@@ -144,25 +152,109 @@ def knn_bruteforce(
     return q.mapInPandas(topk, out_schema)
 
 
-def _knn_crossjoin_window(q, entities, k, q_key, e_key, e_lon, e_lat) -> DataFrame:
-    e = F.broadcast(
-        entities.select(
-            F.col(e_key).alias("_e_key"),
-            F.col(e_lon).alias("_e_lon"),
-            F.col(e_lat).alias("_e_lat"),
-        )
+def _knn_blocked(
+    q: DataFrame,
+    entities: DataFrame,
+    k: int,
+    q_key: str,
+    e_key: str,
+    e_lon: str,
+    e_lat: str,
+    block_rows: int = 65536,
+) -> DataFrame:
+    """Exact kNN when the entity side is too large to broadcast OR
+    collect: block nested loop as a cogroup (the twin of
+    `ann.cosine_topk_blocked`; see its docstring for the shape).
+
+    The previous fallback broadcast the full entity side into a
+    cross-join — the very materialization the over-limit guard exists
+    to prevent. Here both sides are hash-blocked, each (qblock, eblock)
+    pair meets exactly once in an `applyInPandas` task that computes a
+    bounded vectorized-haversine matrix and emits per-query local
+    top-k, and a window over the query key merges block candidates into
+    the exact global top-k. Nothing reaches the driver; per-task memory
+    is two blocks + a chunk×block distance matrix.
+
+    `q` arrives pre-projected by `knn_bruteforce` as
+    (_q_key, _q_lon, _q_lat). Ties break by (dist, entity_key) asc —
+    identical to the inline path and the SQL oracle."""
+    import pandas as pd
+
+    from ..functions.geometry import haversine_km
+
+    n_e = entities.count()
+    n_q = q.count()
+    n_eblk = max(1, -(-n_e // block_rows))
+    n_qblk = max(1, -(-n_q // block_rows))
+
+    qt = q.schema["_q_key"].dataType.simpleString()
+    et = entities.schema[e_key].dataType.simpleString()
+
+    qb = q.withColumn(
+        "qblk", F.pmod(F.xxhash64("_q_key"), F.lit(n_qblk)).cast("int")
     )
-    d = q.crossJoin(e).withColumn(
-        "dist_km",
-        haversine_col(F.col("_q_lon"), F.col("_q_lat"), F.col("_e_lon"), F.col("_e_lat")),
+    eb = entities.select(
+        F.col(e_key).alias("_e_key"),
+        F.col(e_lon).alias("_e_lon"),
+        F.col(e_lat).alias("_e_lat"),
+    ).withColumn("eblk", F.pmod(F.xxhash64("_e_key"), F.lit(n_eblk)).cast("int"))
+
+    # narrow explode replication — no join node, no broadcast
+    qrep = qb.withColumn(
+        "eblk",
+        F.explode(F.sequence(F.lit(0).cast("int"), F.lit(n_eblk - 1).cast("int"))),
     )
-    w = Window.partitionBy("_q_key").orderBy(F.asc("dist_km"), F.asc("_e_key"))
+    erep = eb.withColumn(
+        "qblk",
+        F.explode(F.sequence(F.lit(0).cast("int"), F.lit(n_qblk - 1).cast("int"))),
+    )
+
+    dist_budget = 32 * 1024 * 1024  # float64 cells ≈ 256 MB
+
+    def local_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"qk": [], "ek": [], "dist_km": []})
+        e_keys = right["_e_key"].to_numpy()
+        e_lons = right["_e_lon"].to_numpy(dtype=np.float64)
+        e_lats = right["_e_lat"].to_numpy(dtype=np.float64)
+        qks = left["_q_key"].to_numpy()
+        qlon = left["_q_lon"].to_numpy(dtype=np.float64)
+        qlat = left["_q_lat"].to_numpy(dtype=np.float64)
+        kk = min(k, len(e_keys))
+        chunk = max(1, dist_budget // max(1, len(e_keys)))
+        out_q, out_e, out_d = [], [], []
+        for lo in range(0, len(qks), chunk):
+            hi = min(lo + chunk, len(qks))
+            D = haversine_km(
+                qlon[lo:hi, None], qlat[lo:hi, None],
+                e_lons[None, :], e_lats[None, :],
+            )
+            part = (
+                np.argpartition(D, kk - 1, axis=1)[:, :kk]
+                if kk < D.shape[1]
+                else np.tile(np.arange(D.shape[1]), (D.shape[0], 1))
+            )
+            for r in range(hi - lo):
+                cand = part[r]
+                order = np.lexsort((e_keys[cand], D[r, cand]))
+                sel = cand[order]
+                out_q.extend([qks[lo + r]] * len(sel))
+                out_e.extend(e_keys[sel])
+                out_d.extend(D[r, sel])
+        return pd.DataFrame({"qk": out_q, "ek": out_e, "dist_km": out_d})
+
+    local = (
+        qrep.groupBy("qblk", "eblk")
+        .cogroup(erep.groupBy("qblk", "eblk"))
+        .applyInPandas(local_topk, f"qk {qt}, ek {et}, dist_km double")
+    )
+    w = Window.partitionBy("qk").orderBy(F.asc("dist_km"), F.asc("ek"))
     return (
-        d.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            F.col("_q_key").alias(q_key),
-            F.col("_e_key").alias(e_key),
+            F.col("qk").alias(q_key),
+            F.col("ek").alias(e_key),
             "dist_km",
             "rank",
         )

@@ -105,6 +105,10 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+    # the registry pins the last broadcast value (a full kNN/ANN matrix)
+    # in driver memory; once the context is gone the handles are dead
+    # weight — drop them so the matrices are collectable.
+    _TRACKED_BROADCASTS.clear()
 
 
 # single-slot registry for operator-owned SparkContext broadcasts
@@ -119,7 +123,13 @@ def tracked_broadcast(sc, value, slot: str):
     broadcast in the same slot first unpersists the previous one's
     executor copies (non-blocking — an older plan that still references
     it re-fetches from the driver on next use, so correctness is
-    unaffected), bounding block-manager growth under repeated calls."""
+    unaffected), bounding block-manager growth under repeated calls.
+
+    Single-threaded driver assumption: the registry is not locked — two
+    jobs sharing a slot concurrently stay CORRECT (unpersist forces a
+    re-fetch from the driver) but the loser pays a silent re-broadcast.
+    `stop_spark()` clears the registry so values don't outlive the
+    context."""
     prev = _TRACKED_BROADCASTS.get(slot)
     if prev is not None:
         try:

@@ -125,10 +125,34 @@ def rate_limited_batch(batch_df: DataFrame, quota: int,
     its pending table every loop,
     `osm_editor_bot_for_approved_tasks.py:488-512`).
     `rate_limited_sink`'s `defer_fn` is that re-enqueue hook."""
-    order_cols = order_cols or batch_df.columns[:1]
-    take = batch_df.orderBy(*order_cols).limit(quota)
+    cols = _total_order(batch_df, order_cols)
+    take = batch_df.orderBy(*cols).limit(quota)
     total = batch_df.count()
     return take, max(0, total - quota)
+
+
+def _total_order(batch_df: DataFrame, order_cols: list[str] | None) -> list[str]:
+    """A fully deterministic ordering for the quota split: the caller's
+    `order_cols` extended with every remaining orderable column. The
+    sink half (orderBy().limit(quota)) and the defer half
+    (orderBy().offset(quota)) are two independent sorts of the same
+    batch; if the ordering is not TOTAL, ties can land differently
+    across the two jobs and a row reaches both sink and defer (double
+    action) or neither (silent drop). With the full row as the sort key
+    the sorted sequence is unique up to interchangeable duplicates, so
+    the limit/offset halves partition the batch exactly as multisets —
+    and the efficient TakeOrdered path is preserved (no single-partition
+    row_number window over an arbitrarily large micro-batch).
+    MapType columns are skipped (not orderable in Spark)."""
+    from pyspark.sql.types import MapType
+
+    cols = list(order_cols) if order_cols else batch_df.columns[:1]
+    cols += [
+        f.name
+        for f in batch_df.schema.fields
+        if f.name not in cols and not isinstance(f.dataType, MapType)
+    ]
+    return cols
 
 
 def rate_limited_sink(stream_df: DataFrame, sink_fn, quota_per_batch: int,
@@ -150,7 +174,9 @@ def rate_limited_sink(stream_df: DataFrame, sink_fn, quota_per_batch: int,
         sink_fn(take, batch_id)
         if overflow:
             if defer_fn is not None:
-                cols = order_cols or batch_df.columns[:1]
+                # same TOTAL ordering as the sink half (_total_order) so
+                # limit/offset partition the batch exactly — see helper.
+                cols = _total_order(batch_df, order_cols)
                 rest = (
                     batch_df.orderBy(*cols)
                     .offset(quota_per_batch)

@@ -95,6 +95,76 @@ def test_ann_ivf_recall(spark):
     assert recall >= 0.7, f"IVF recall {recall}"
 
 
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cosine_topk_blocked_matches_native(spark):
+    """Block-partitioned exact top-k == brute force, across block
+    boundaries (block_rows far below corpus size forces many blocks on
+    both sides)."""
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((150, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 40)
+    native = ANN.cosine_topk_native(q, df, k=4).toPandas().sort_values(["vec_id", "rank"])
+    blocked = (
+        ANN.cosine_topk_blocked(q, df, k=4, block_rows=23)
+        .toPandas()
+        .sort_values(["vec_id", "rank"])
+    )
+    assert native["neighbor_id"].tolist() == blocked["neighbor_id"].tolist()
+    assert np.allclose(
+        native["cosine"].to_numpy(), blocked["cosine"].to_numpy(), atol=1e-9
+    )
+
+
+def test_cosine_topk_fast_overlimit_routes_to_blocked(spark):
+    """An over-limit corpus must NOT be broadcast or collected whole:
+    the fast path's fallback is the cogroup block plan — no
+    BroadcastNestedLoopJoin, no broadcast of corpus data — and its
+    output is exactly brute force."""
+    from osm_wikipedia_tag_validator_spark import session as S
+
+    rng = np.random.default_rng(8)
+    X = rng.standard_normal((160, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(160)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 25)
+    before = dict(S._TRACKED_BROADCASTS)
+    out = ANN.cosine_topk_fast(q, df, k=3, max_inline_corpus=50)
+    got = out.toPandas().sort_values(["vec_id", "rank"])
+    # no full-corpus broadcast happened (the fast path's matrix slot
+    # was never written) and the plan carries no broadcast join at all
+    assert S._TRACKED_BROADCASTS.get("ann_corpus_matrix") is before.get(
+        "ann_corpus_matrix"
+    )
+    plan = _executed_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    native = ANN.cosine_topk_native(q, df, k=3).toPandas().sort_values(["vec_id", "rank"])
+    assert native["neighbor_id"].tolist() == got["neighbor_id"].tolist()
+
+
+def test_knn_bruteforce_overlimit_routes_to_blocked(spark):
+    """Over-limit entity side: cogroup block plan, no broadcast of the
+    entity table, exact results equal to the numpy oracle."""
+    ents, epdf = _dense_entities(spark, n=300)
+    qs, qpdf = _queries(spark, n=50)
+    out = KNN.knn_bruteforce(
+        qs, ents, k=5, q_key="id", e_key="qid", max_inline_entities=100
+    )
+    plan = _executed_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    got = out.toPandas()
+    exp = _numpy_knn(qpdf, epdf, 5)
+    assert len(got) == 50 * 5
+    for qid, grp in got.groupby("id"):
+        assert grp.sort_values("rank")["qid"].tolist() == exp[int(qid)]
+
+
 def test_cosine_topk_fast_matches_native(spark):
     rng = np.random.default_rng(6)
     X = rng.standard_normal((120, 16)).astype(np.float32)

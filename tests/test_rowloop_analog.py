@@ -5,9 +5,10 @@ job — that equality is what makes the measured architecture speedup
 architectures rather than of two different computations. It is also an
 independent per-row re-derivation of the tile + PIP + rollup path."""
 
+import os
 import sys
 
-sys.path.insert(0, "scripts")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
 from rowloop_analog import engine_rollup, run_analog
 
