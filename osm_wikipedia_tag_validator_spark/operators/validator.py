@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..sources.wiki_dim import assert_wiki_dim
 from .error_catalog import (
     CATEGORY_ORDER,
     PREFIXED_VARIANTS,
@@ -407,7 +408,13 @@ def join_wiki_entities(elements: DataFrame, wiki: DataFrame) -> DataFrame:
     than inlined as a literal `create_map` in the cascade: a 132-entry
     map literal repeated across when-branches bloats every generated
     code path with hundreds of constants, and the dim join keeps plan
-    size independent of catalog breadth."""
+    size independent of catalog breadth.
+
+    `wiki` must satisfy `sources.wiki_dim.CONSUMED_COLUMNS` — the
+    documented boundary between the validator and any real wiki-entity
+    source; normalize arbitrary dumps with
+    `sources.wiki_dim.build_wiki_entities_dim`."""
+    wiki = assert_wiki_dim(wiki)
     phrase_dim = F.broadcast(
         wiki.sparkSession.createDataFrame(
             list(SECONDARY_CLASS_PHRASES.items()),

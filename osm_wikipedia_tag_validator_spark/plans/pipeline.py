@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..datagen import world as W
 from ..operators import spatial_join as SJ
 from ..operators import tiles as TI
+from ..sources import wiki_dim as WD
 from ..operators import upsert as UP
 from ..operators import validator as V
 
@@ -40,7 +41,10 @@ def build_inputs(spark, n_elements: int = 2000) -> dict[str, DataFrame]:
         "images": W.spark_images(spark, min(n_elements, 2000)),
         "polygons": W.spark_polygons(spark),
         "regions": W.spark_regions(spark),
-        "wiki": W.spark_wiki_entities(spark),
+        # the synthetic generator already emits the contract, but the
+        # pipeline still routes through the boundary normalizer so a
+        # real source (wikidata dump / WDQS extract) is a drop-in swap
+        "wiki": WD.build_wiki_entities_dim(W.spark_wiki_entities(spark)),
         "error_catalog": W.spark_error_catalog(spark),
     }
 
