@@ -380,7 +380,68 @@ def _scaling_leg_once(cores: int, n_img: int | None = None) -> dict:
     return json.loads(line[-1].removeprefix("SCALING_RESULT "))
 
 
+# a leg whose /proc/stat steal delta reaches this many jiffies (~40
+# CPU-seconds taken by the hypervisor for co-tenants) did not measure
+# the engine; clean-window legs record <2k, contaminated ones 6k-38k.
+STEAL_CLEAN_JIFFIES = int(os.environ.get("SPARK_GRAFT_STEAL_CLEAN", "4000"))
+
+
 def run_scaling() -> dict:
+    # CRITERION FIRST: the raw N→4N (4,16) pairs run before the 8/32
+    # context section — run 41 launched into a probe-verified clean
+    # window that decayed during the ~10 min the 8/32 legs burned
+    # first, contaminating exactly the pairs the criterion is judged
+    # on. Legs within a pair are back-to-back (INTERLEAVED) so the
+    # pair samples one noise window; a pair either of whose legs
+    # records ≥ STEAL_CLEAN_JIFFIES of hypervisor steal is re-measured
+    # (bounded retries, EVERY attempt recorded in pair_attempts_4_16 —
+    # nothing is dropped from the record): the criterion targets the
+    # engine's scaling, and a leg that lost 40+ CPU-seconds to
+    # co-tenants measured the neighbors, not the engine.
+    #
+    # Same 2M-image input as the 8/32 legs — "the same job on the same
+    # input" at two parallelism levels; the large wall amortizes the
+    # fixed serial term (session/planning/broadcast-build, ~4-5 s).
+    # Why 4v16 rather than 8v32 for the criterion: a 32-wide leg needs
+    # EVERY vCPU of this shared box, so any co-tenant activity is
+    # charged to it as steal while the 8-wide leg (a quarter of the
+    # box) coexists — runs 21-22 recorded 14k-38k steal jiffies on 32
+    # legs against near-clean 8 legs, crushing the ratio for reasons
+    # that are host topology, not engine. At 4 vs 16 BOTH legs leave
+    # headroom and sample co-tenant noise symmetrically. The north rule
+    # names N and 4N, not particular core counts.
+    n_img_small = int(os.environ.get("SPARK_GRAFT_SCALE_IMG_SMALL", "2000000"))
+    legs_s: dict[int, list[dict]] = {4: [], 16: []}
+    pair_effs_s: list[float] = []
+    pair_attempts_s: list[dict] = []
+    retries_left = int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "3"))
+    for _rep in range(3):
+        while True:
+            r4 = _scaling_leg_once(4, n_img=n_img_small)
+            r16 = _scaling_leg_once(16, n_img=n_img_small)
+            eff_pair = (r4["wall_sec"] / r16["wall_sec"]) / 4.0
+            contaminated = (
+                max(r4.get("steal_jiffies") or 0, r16.get("steal_jiffies") or 0)
+                >= STEAL_CLEAN_JIFFIES
+            )
+            pair_attempts_s.append({
+                "eff": round(eff_pair, 3),
+                "wall4": round(r4["wall_sec"], 2),
+                "wall16": round(r16["wall_sec"], 2),
+                "steal4": r4.get("steal_jiffies"),
+                "steal16": r16.get("steal_jiffies"),
+                "contaminated": contaminated,
+                "accepted": (not contaminated) or retries_left == 0,
+            })
+            if not contaminated or retries_left == 0:
+                break
+            retries_left -= 1
+        legs_s[4].append(r4)
+        legs_s[16].append(r16)
+        pair_effs_s.append(eff_pair)
+    eff_s = sorted(pair_effs_s)[len(pair_effs_s) // 2]
+
+    # 8/32 context section (no retries — it is context, not criterion).
     # INTERLEAVED legs (8,32, 8,32, 8,32): the co-tenant load on this
     # shared VM drifts on a minutes scale, and sequential legs sample
     # DIFFERENT noise windows — run 14 measured its quietest-ever
@@ -406,27 +467,6 @@ def run_scaling() -> dict:
         # wrong leg, defeating the contamination-audit purpose
         results[cores]["leg_walls"] = [round(r["wall_sec"], 2) for r in rs]
         results[cores]["leg_steal"] = [r.get("steal_jiffies") for r in rs]
-    # STEAL-BIAS CONTROL, same N→4N criterion at 4 vs 16: a 32-wide leg
-    # needs EVERY vCPU of this shared box, so any co-tenant activity is
-    # charged to it as steal while the 8-wide leg (a quarter of the
-    # box) coexists — runs 21-22 recorded 14k-38k steal jiffies on 32
-    # legs against near-clean 8 legs, crushing the ratio for reasons
-    # that are host-topology, not engine. At 4 vs 16 BOTH legs leave
-    # headroom and sample co-tenant noise symmetrically. Same 2M-image
-    # input as the 8/32 legs — "the same job on the same input" at two
-    # parallelism levels, and the larger wall amortizes the fixed
-    # serial term (session/planning/broadcast-build, ~4-5 s) that
-    # otherwise caps a 21 s leg at ~0.75.
-    n_img_small = int(os.environ.get("SPARK_GRAFT_SCALE_IMG_SMALL", "2000000"))
-    legs_s: dict[int, list[dict]] = {4: [], 16: []}
-    pair_effs_s: list[float] = []
-    for _rep in range(3):
-        r4 = _scaling_leg_once(4, n_img=n_img_small)
-        r16 = _scaling_leg_once(16, n_img=n_img_small)
-        legs_s[4].append(r4)
-        legs_s[16].append(r16)
-        pair_effs_s.append((r4["wall_sec"] / r16["wall_sec"]) / 4.0)
-    eff_s = sorted(pair_effs_s)[len(pair_effs_s) // 2]
     ceiling = _hardware_parallel_ceiling()
     t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
     # headline = median of the PAIRED per-rep ratios: each (8,32) pair
@@ -481,11 +521,18 @@ def run_scaling() -> dict:
         "n_images_4_16": n_img_small,
         "ceiling_4_to_16": ceiling.get("ceiling_4_to_16"),
         "bandwidth_ceiling_4_to_16": ceiling.get("bandwidth_ceiling_4_to_16"),
+        # EVERY pair attempt, including steal-contaminated ones that
+        # were re-measured — the full record, nothing dropped
+        "pair_attempts_4_16": pair_attempts_s,
+        "steal_clean_jiffies": STEAL_CLEAN_JIFFIES,
         "ran_at": int(time.time()),
         "methodology": (
-            "interleaved (8,32) pairs x3; headline = median of per-pair raw "
-            "ratios; taskset-pinned, per-leg steal recorded; plus interleaved "
-            "(4,16) pairs x3 as the steal-bias-controlled N-to-4N measurement"
+            "criterion-first interleaved (4,16) pairs x3 (raw N-to-4N "
+            "headline = median of per-pair ratios; a pair with >=%d steal "
+            "jiffies on either leg is re-measured, bounded retries, all "
+            "attempts recorded); then interleaved (8,32) pairs x3 as "
+            "context; taskset-pinned, per-leg steal recorded"
+            % STEAL_CLEAN_JIFFIES
         ),
     }
     # CONTEXT ONLY, never folded into the criterion: efficiency divided
@@ -609,7 +656,18 @@ This is the criterion quantity — the north rule names N and 4N, not
 any particular core counts — measured where the shared box can be
 honest: at 4 vs 16 BOTH legs leave headroom, so co-tenant noise lands
 on them symmetrically and the paired ratio isolates the ENGINE's
-N→4N behavior.
+N→4N behavior. The criterion pairs run FIRST in each official run
+(run 41's probe-verified clean window decayed during the ~10 min of
+8/32 context legs that used to run first, contaminating exactly the
+pairs the criterion is judged on), and a pair either of whose legs
+records ≥ {s.get('steal_clean_jiffies', 4000)} steal jiffies (~40
+CPU-seconds taken by the hypervisor for co-tenants) is re-measured
+with bounded retries — every attempt, accepted or not, is in
+`pair_attempts_4_16` in BENCH_history.jsonl (this run:
+{s.get('pair_attempts_4_16', '—')}). A leg that lost 40+ CPU-seconds
+to neighbors measured the neighbors, not the engine; recording the
+contaminated attempt while re-measuring keeps the criterion about the
+engine without dropping anything from the record.
 
 Context — the same measurement at 8 vs 32:
 
