@@ -141,6 +141,7 @@ def run_default() -> dict:
     from osm_wikipedia_tag_validator_spark.plans import oracle_queries as OQ
     from osm_wikipedia_tag_validator_spark.session import get_spark
 
+    bw_before = round(_bw_probe_rate())
     spark = get_spark(cores=CPUS, shuffle_partitions=max(32, CPUS))
     # warm: parquet footers/listings + python worker pool, so the first
     # timed query isn't charged for session bring-up
@@ -258,8 +259,17 @@ def run_default() -> dict:
         "methodology": (
             "1 untimed JIT-warm leg then min-of-3 per query (flagship "
             "and tile composites min-of-3 after a FULL-SIZE untimed "
-            "warm leg), all legs + per-leg steal jiffies recorded"
+            "warm leg), all legs + per-leg steal jiffies recorded; "
+            "bw_probe_mb_s = single-core memory-stream rate before/after "
+            "the run (co-tenant bandwidth pressure never appears as "
+            "steal; clean-host rate is ~7.4k MB/s — a depressed probe "
+            "means the recorded walls are upper bounds, not the engine)"
         ),
+        # host-window diagnostic bracketing the whole default run
+        "bw_probe_mb_s": {
+            "before": bw_before,
+            "after": round(_bw_probe_rate()),
+        },
         "composite_leg_steal_jiffies": {
             "flagship_spatial": flag_steal,
             "tile_pipeline_500k": tile_steal,
