@@ -390,7 +390,13 @@ def knn_kring(
         w = Window.partitionBy("_q_key").orderBy(F.asc("dist_km"), F.asc("_e_key"))
         # localCheckpoint: materialize this round's candidates once —
         # converged-split, anti-join and the result union all reuse it
-        # without recomputing the join lineage next round.
+        # without recomputing the join lineage next round. Eviction: each
+        # ring's checkpoint blocks stay referenced by the growing
+        # `results` union until the caller's ACTION completes, so peak
+        # storage is sum over rings of the (already top-k-truncated)
+        # per-ring winners — k rows per unconverged query, shrinking
+        # geometrically as queries converge; `remaining` (the only
+        # unbounded-width checkpoint) IS explicitly unpersisted below.
         topk = (
             cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
