@@ -40,8 +40,11 @@ def main() -> None:
     s0 = _steal()
     bw4 = max(_rate(_burn_bw, 6, 4) for _ in range(2))
     bw16 = max(_rate(_burn_bw, 6, 16) for _ in range(2))
-    alu4 = _rate(_burn, 12_000_000, 4, per=2)
-    alu16 = _rate(_burn, 12_000_000, 16, per=2)
+    # max-of-2 like the bw probe: co-tenant noise only DEPRESSES a
+    # rate, so the max is the cleaner reading — single-rep ALU probes
+    # rejected near-clean windows on pure scheduling jitter
+    alu4 = max(_rate(_burn, 12_000_000, 4, per=2) for _ in range(2))
+    alu16 = max(_rate(_burn, 12_000_000, 16, per=2) for _ in range(2))
     print(json.dumps({
         "steal_delta": _steal() - s0,
         "bw_ceiling_4_16": round(bw16 / bw4 / 4.0, 3),
