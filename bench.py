@@ -615,7 +615,8 @@ def run_scaling() -> dict:
         "methodology": (
             "criterion-first interleaved (4,16) pairs, min-stabilization "
             "sampling: keep sampling until neither width's minimum wall "
-            "improved >2%% in the last 2 attempts (>=3, <=8 attempts); "
+            f"improved >2%% in the last 2 attempts (>={min_pairs}, "
+            f"<={max_pairs} attempts); "
             "raw N-to-4N headline = min4/min16/4 over ALL attempts "
             "(contamination is strictly additive, every wall is an upper "
             "bound on the engine's cost, min is the tightest — same "
@@ -809,7 +810,11 @@ the minimum is the tightest one, the same one-sided-noise argument
 the per-query timings use (min-of-3, methodology note below). A
 minimum is monotone in the sample set, so the stopping rule cannot
 bias it: sampling continues until neither width's minimum improved
->2% in the last 2 attempts (≥3, ≤8 attempts). Every attempt is in
+>2% in the last 2 attempts (≥3 attempts, cap via
+SPARK_GRAFT_MAX_PAIRS, default 8 — bursty windows warrant a higher
+cap: more samples only tighten both per-width bounds, and the
+16-wide leg, being the more contamination-sensitive one, is the one
+whose inflated minimum biases the ratio DOWN). Every attempt is in
 `pair_attempts_4_16` in BENCH_history.jsonl (this run:
 {s.get('pair_attempts_4_16', '—')}), each carrying two contamination
 DIAGNOSTICS (recorded, never selecting the estimate): (1) /proc/stat

@@ -50,7 +50,10 @@ while [ "$(date +%s)" -lt "$deadline" ]; do
   done
   if [ "$good" -lt 2 ]; then break; fi
   echo "$(date +%H:%M:%S) WINDOW CLEAN x2 — launching official scaling run"
-  python bench.py --scaling
+  # bursty windows: a higher attempt cap gives the min-stabilization
+  # estimator more chances to catch each width's clean wall (min is
+  # monotone — extra samples only tighten the bounds)
+  SPARK_GRAFT_MAX_PAIRS=12 python bench.py --scaling
   echo "$(date +%H:%M:%S) RUN_EXIT=$?"
 done
 if last3_met; then
