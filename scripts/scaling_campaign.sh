@@ -39,16 +39,24 @@ while [ "$(date +%s)" -lt "$deadline" ]; do
     echo "$(date +%H:%M:%S) CRITERION MET: last 3 official runs all >= 0.8"
     exit 0
   fi
-  good=0
+  # Launch rule: 2 CONSECUTIVE clean probes (sustained-clean window),
+  # OR 2 clean among the last 4 (fast-alternating noise: isolated
+  # clean probes mean clean sub-windows recur on the minutes scale,
+  # which is exactly what the min-of-walls estimator needs — each
+  # width only has to land ONE clean wall across the attempt budget).
+  good=0; launch=0; recent=""
   while [ "$(date +%s)" -lt "$deadline" ]; do
     out=$(python scripts/window_probe.py)
     echo "$(date +%H:%M:%S) probe: $out"
     ok=$(echo "$out" | python -c "import sys,json; d=json.load(sys.stdin); print(1 if d['bw_ceiling_4_16']>=0.70 and d['alu_ceiling_4_16']>=0.85 else 0)")
     if [ "$ok" = "1" ]; then good=$((good+1)); else good=0; fi
-    if [ "$good" -ge 2 ]; then break; fi
-    sleep 150
+    recent="${recent}${ok}"
+    recent="${recent: -4}"
+    nclean=$(echo "$recent" | tr -cd 1 | wc -c)
+    if [ "$good" -ge 2 ] || [ "$nclean" -ge 2 ]; then launch=1; break; fi
+    sleep 90
   done
-  if [ "$good" -lt 2 ]; then break; fi
+  if [ "$launch" != "1" ]; then break; fi
   echo "$(date +%H:%M:%S) WINDOW CLEAN x2 — launching official scaling run"
   # bursty windows: a higher attempt cap gives the min-stabilization
   # estimator more chances to catch each width's clean wall (min is
