@@ -60,8 +60,13 @@ while [ "$(date +%s)" -lt "$deadline" ]; do
   echo "$(date +%H:%M:%S) WINDOW CLEAN x2 — launching official scaling run"
   # bursty windows: a higher attempt cap gives the min-stabilization
   # estimator more chances to catch each width's clean wall (min is
-  # monotone — extra samples only tighten the bounds)
-  SPARK_GRAFT_MAX_PAIRS=12 python bench.py --scaling
+  # monotone — extra samples only tighten the bounds). MIN_PAIRS=8
+  # guarantees a symmetric floor of samples for BOTH widths before the
+  # stability rule can stop (run 44 stopped at 6 attempts with the
+  # 16-leg minimum having improved as late as attempt 4); the floor is
+  # width-symmetric so it cannot bias the ratio, unlike stopping rules
+  # keyed on the efficiency value itself.
+  SPARK_GRAFT_MIN_PAIRS=8 SPARK_GRAFT_MAX_PAIRS=12 python bench.py --scaling
   echo "$(date +%H:%M:%S) RUN_EXIT=$?"
 done
 if last3_met; then
