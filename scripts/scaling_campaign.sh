@@ -51,7 +51,10 @@ while [ "$(date +%s)" -lt "$deadline" ]; do
     ok=$(echo "$out" | python -c "import sys,json; d=json.load(sys.stdin); print(1 if d['bw_ceiling_4_16']>=0.70 and d['alu_ceiling_4_16']>=0.85 else 0)")
     if [ "$ok" = "1" ]; then good=$((good+1)); else good=0; fi
     recent="${recent}${ok}"
-    recent="${recent: -4}"
+    # keep the last 4 flags; ${recent: -4} on a <4-char string returns
+    # "" in bash (offset out of range), which silently disabled this
+    # gate — drop the oldest char instead
+    while [ ${#recent} -gt 4 ]; do recent="${recent#?}"; done
     nclean=$(echo "$recent" | tr -cd 1 | wc -c)
     if [ "$good" -ge 2 ] || [ "$nclean" -ge 2 ]; then launch=1; break; fi
     sleep 90
