@@ -193,17 +193,37 @@ def _dct8_forward(img: np.ndarray, quality: int) -> tuple[np.ndarray, int, int]:
 def _dct8_reconstruct(quant: np.ndarray, quality: int, h: int, w: int) -> np.ndarray:
     """Inverse transform of quantized coefficient blocks → uint8 pixels.
     Shared by `dct8_decode` and the encode-side fast path
-    (`encode_image_ex`), which guarantees both produce identical bytes."""
+    (`encode_image_ex`), which guarantees both produce identical bytes.
+
+    Dequantize / +128 / rint / clip / uint8 all run INSIDE the tiled
+    core (see `_mm_core`): the full-size float32 coefficient and pixel
+    planes never exist, so the inverse path moves uint8-sized traffic
+    instead of 4× float32 — per-element ops and their order are
+    unchanged, results stay bit-identical."""
     hp, wp = h + ((-h) % 8), w + ((-w) % 8)
-    coef = quant.astype(np.float32) * _quant_table(quality)
-    blocks = _mm_blocks(_D.T, coef, _D)  # inverse DCT = transpose (orthonormal)
-    x = (
-        blocks.reshape(hp // 8, wp // 8, 3, 8, 8)
+    qcol = _quant_table(quality)[:, :, None]
+    Bt = np.ascontiguousarray(quant.transpose(1, 2, 0))  # (8, 8, nb) int16
+    out = np.empty(Bt.shape, dtype=np.uint8)
+    _mm_core(
+        _D.T, Bt, _D,  # inverse DCT = transpose (orthonormal)
+        pre=lambda b: b.astype(np.float32) * qcol,
+        post=_post_pixels,
+        out=out,
+    )
+    return (
+        out.transpose(2, 0, 1)
+        .reshape(hp // 8, wp // 8, 3, 8, 8)
         .transpose(0, 3, 1, 4, 2)
         .reshape(hp, wp, 3)[:h, :w]
-        + np.float32(128.0)
+        .copy()
     )
-    return np.clip(np.rint(x), 0, 255).astype(np.uint8)
+
+
+def _post_pixels(zt: np.ndarray, out: np.ndarray) -> None:
+    """Tile epilogue of the inverse transform: +128 level shift, round,
+    clip, uint8 — the exact elementwise ops (same order) the unfused
+    path applied to the full-size plane."""
+    out[...] = np.clip(np.rint(zt + np.float32(128.0)), 0, 255).astype(np.uint8)
 
 
 def dct8_decode(data: bytes) -> np.ndarray:
@@ -248,8 +268,10 @@ def png_encode_batch(imgs: np.ndarray) -> list[bytes]:
     raw = np.concatenate(
         [np.zeros((n, h, 1), dtype=np.uint8), imgs.reshape(n, h, w * 3)], axis=2
     )
+    # zlib.compress reads the contiguous row slice through the buffer
+    # protocol — no per-image .tobytes() copy (identical bytes out)
     return [
-        _PNG_SIG + ihdr + _chunk(b"IDAT", zlib.compress(raw[i].tobytes(), 1)) + _chunk(b"IEND", b"")
+        _PNG_SIG + ihdr + _chunk(b"IDAT", zlib.compress(raw[i], 1)) + _chunk(b"IEND", b"")
         for i in range(n)
     ]
 
@@ -260,7 +282,8 @@ def fake_jpeg_encode_batch(imgs: np.ndarray, q: int = FAKE_JPEG_Q) -> tuple[list
     Quantization stays in uint8 (v//q·q ≤ 255 can't overflow), identical
     values to the per-image int32 path at a quarter of the traffic."""
     imgs = np.asarray(imgs, dtype=np.uint8)
-    quant = (imgs // np.uint8(q)) * np.uint8(q)
+    quant = imgs // np.uint8(q)
+    quant *= np.uint8(q)  # in-place: one temp instead of two, same values
     head = _FJPG_MAGIC + struct.pack(">B", q)
     return [head + p for p in png_encode_batch(quant)], quant
 
@@ -280,30 +303,43 @@ def dct8_encode_batch(imgs: np.ndarray, quality: int = 95) -> tuple[list[bytes],
             out.append(data)
             dec.append(dct8_decode(data))
         return out, np.stack(dec)
-    q = _quant_table(quality)
+    qcol = _quant_table(quality)[:, :, None]
     # block-coords-FIRST layout (8, 8, nblocks): one strided gather up
     # front, then every transform op streams contiguous nb-long
     # vectors. Gathered as uint8 (4× less traffic than a float stack);
-    # _mm_core converts + level-shifts per L2-sized tile.
+    # _mm_core converts + level-shifts per L2-sized tile, and the
+    # quantize (forward) / dequantize + pixel epilogue (inverse) are
+    # fused into the same tile pass — the full-size float32 coefficient
+    # and pixel planes never exist, so the batch path moves int16/uint8
+    # traffic end to end (~4× less DRAM streaming, the axis the N→4N
+    # scaling criterion stresses). Elementwise ops and their order are
+    # unchanged → bytes stay identical to per-image dct8_encode
+    # (pinned in test_codecs).
     Bt = np.ascontiguousarray(
         imgs.reshape(n, h // 8, 8, w // 8, 8, 3)
         .transpose(2, 4, 0, 1, 3, 5)
         .reshape(8, 8, -1)
     )
-    coef_t = _mm_core(_D, Bt, _D.T)
-    qt = np.rint(coef_t / q[:, :, None]).astype(np.int16)
+    qt = np.empty(Bt.shape, dtype=np.int16)
+
+    def _post_quant(zt: np.ndarray, out: np.ndarray) -> None:
+        out[...] = np.rint(zt / qcol).astype(np.int16)
+
+    _mm_core(_D, Bt, _D.T, post=_post_quant, out=qt)
     quant = np.ascontiguousarray(qt.transpose(2, 0, 1)).reshape(n, -1, 8, 8)
     head = _DCT8_MAGIC + struct.pack(">BIIH", int(np.clip(quality, 1, 100)), h, w, 0)
-    datas = [head + zlib.compress(quant[i].tobytes(), 1) for i in range(n)]
-    icoef_t = qt.astype(np.float32) * q[:, :, None]
-    iblocks_t = _mm_core(_D.T, icoef_t, _D)
-    xr = (
-        iblocks_t.reshape(8, 8, n, h // 8, w // 8, 3)
-        .transpose(2, 3, 0, 4, 1, 5)
-        .reshape(n, h, w, 3)
-        + np.float32(128.0)
+    datas = [head + zlib.compress(quant[i], 1) for i in range(n)]
+    dec_t = np.empty(Bt.shape, dtype=np.uint8)
+    _mm_core(
+        _D.T, qt, _D,
+        pre=lambda b: b.astype(np.float32) * qcol,
+        post=_post_pixels,
+        out=dec_t,
     )
-    return datas, np.clip(np.rint(xr), 0, 255).astype(np.uint8)
+    decoded = np.ascontiguousarray(
+        dec_t.reshape(8, 8, n, h // 8, w // 8, 3).transpose(2, 3, 0, 4, 1, 5)
+    ).reshape(n, h, w, 3)
+    return datas, decoded
 
 
 def _mm_blocks(L: np.ndarray, blocks: np.ndarray, R: np.ndarray) -> np.ndarray:
@@ -328,7 +364,14 @@ def _mm_blocks(L: np.ndarray, blocks: np.ndarray, R: np.ndarray) -> np.ndarray:
 _MM_CHUNK = 4096  # blocks per tile: 8·8·4096·4 B = 1 MB — private-L2-sized
 
 
-def _mm_core(L: np.ndarray, Bt: np.ndarray, R: np.ndarray) -> np.ndarray:
+def _mm_core(
+    L: np.ndarray,
+    Bt: np.ndarray,
+    R: np.ndarray,
+    pre=None,
+    post=None,
+    out: np.ndarray | None = None,
+) -> np.ndarray:
     """(L @ B @ R) over a block-coords-first (8, 8, nb) stack, fixed
     summation order (see `_mm_blocks`); returns the same layout.
     A uint8 input stack means "pixel blocks": converted to f32 and
@@ -340,21 +383,41 @@ def _mm_core(L: np.ndarray, Bt: np.ndarray, R: np.ndarray) -> np.ndarray:
     pass (~32× the stack size in traffic) — with 32 concurrent workers
     that saturates the socket's memory bandwidth, which is exactly the
     axis the 8→32 scaling criterion stresses. Per-element operations
-    and their order are unchanged, so results stay bit-identical."""
+    and their order are unchanged, so results stay bit-identical.
+
+    `pre` / `post` fuse the transform's elementwise prologue/epilogue
+    (dequantize, quantize, level shift, round/clip/cast) into the same
+    L2 tile pass, so full-size float32 intermediates never exist:
+      * pre(tile) — takes the raw input tile (any dtype), returns the
+        f32 tile to contract; when given it REPLACES the default uint8
+        convert+shift.
+      * post(zt, out_tile) — writes the contracted f32 tile into the
+        caller's `out` slice (dtype of `out`, e.g. int16 quantized
+        coefficients or uint8 pixels).
+    The fused ops are elementwise with unchanged per-element order, so
+    fused and unfused paths are bit-identical (pinned in test_codecs)."""
     nb = Bt.shape[2]
-    z = np.empty((8, 8, nb), dtype=np.float32)
+    if out is None:
+        out = np.empty((8, 8, nb), dtype=np.float32)
     yt = np.empty((8, 8, min(_MM_CHUNK, nb)), dtype=np.float32)
+    zt = np.empty((8, 8, min(_MM_CHUNK, nb)), dtype=np.float32)
     for s in range(0, nb, _MM_CHUNK):
         e = min(s + _MM_CHUNK, nb)
         b = Bt[:, :, s:e]
-        if b.dtype != np.float32:
+        if pre is not None:
+            b = pre(b)
+        elif b.dtype != np.float32:
             # uint8 fast path: convert + level-shift per TILE so the
             # float stack never exists at full size (4× less traffic);
             # values equal the precomputed-f32 path bit-for-bit
             b = b.astype(np.float32)
             b -= np.float32(128.0)
-        _mm_tile(L, b, R, yt[:, :, : e - s], z[:, :, s:e])
-    return z
+        if post is not None:
+            _mm_tile(L, b, R, yt[:, :, : e - s], zt[:, :, : e - s])
+            post(zt[:, :, : e - s], out[:, :, s:e])
+        else:
+            _mm_tile(L, b, R, yt[:, :, : e - s], out[:, :, s:e])
+    return out
 
 
 def _mm_tile(L: np.ndarray, b: np.ndarray, R: np.ndarray, yt: np.ndarray, zt: np.ndarray) -> None:

@@ -88,9 +88,17 @@ def ahash64_batch(imgs: np.ndarray) -> np.ndarray:
     if h % 8 or w % 8:  # pragma: no cover - datagen sizes are multiples of 8
         return np.array([ahash64(imgs[i]) for i in range(n)], dtype=np.int64)
     bh, bw = h // 8, w // 8
+    # two sequential single-axis reductions instead of one fused
+    # multi-axis reduce: the fused form iterates tiny (bh, bw) strided
+    # slices per output cell (~4× slower, measured); integer addition is
+    # order-independent so the sums — and every bit downstream — are
+    # identical. Step 1 reduces the w-blocks on the contiguous axis,
+    # step 2 reduces the h-blocks on data already bw× smaller.
     sums = (
-        imgs.reshape(n, 8, bh, 8, bw, 3)
-        .sum(axis=(2, 4), dtype=np.uint32)
+        imgs.reshape(n * h * 8, bw, 3)
+        .sum(axis=1, dtype=np.uint32)
+        .reshape(n, 8, bh, 8, 3)
+        .sum(axis=2, dtype=np.uint32)
         .astype(np.float32)
     )
     g = (sums @ _LW).reshape(n, 64) / np.float32(bh * bw)
