@@ -528,32 +528,45 @@ def run_scaling() -> dict:
     # where adjacent windows gave 0.75. Alternating legs makes both
     # legs sample the same noise distribution; median of 3 per leg as
     # before (min-of-N would flatter, median is the honest center).
+    #
+    # SPARK_GRAFT_SKIP_8_32_CONTEXT=1 skips this section (campaign
+    # fast-cycle: the criterion is banked by this point, and ~12 min of
+    # context legs spend exactly the clean-window time the NEXT run's
+    # launch gate is waiting for; 44 prior runs carry the 8/32 context,
+    # and the skip is recorded in the run's methodology field).
+    skip_ctx = os.environ.get("SPARK_GRAFT_SKIP_8_32_CONTEXT") == "1"
     legs: dict[int, list[dict]] = {8: [], 32: []}
     pair_effs: list[float] = []
-    for _rep in range(3):
-        r8 = _scaling_leg_once(8)
-        r32 = _scaling_leg_once(32)
-        legs[8].append(r8)
-        legs[32].append(r32)
-        pair_effs.append((r8["wall_sec"] / r32["wall_sec"]) / 4.0)
+    if not skip_ctx:
+        for _rep in range(3):
+            r8 = _scaling_leg_once(8)
+            r32 = _scaling_leg_once(32)
+            legs[8].append(r8)
+            legs[32].append(r32)
+            pair_effs.append((r8["wall_sec"] / r32["wall_sec"]) / 4.0)
     results = {
         cores: sorted(rs, key=lambda r: r["wall_sec"])[len(rs) // 2]
-        for cores, rs in legs.items()
+        for cores, rs in legs.items() if rs
     }
     for cores, rs in legs.items():
+        if not rs:
+            continue
         # run order for BOTH arrays so wall[i] and steal[i] describe the
         # same leg — sorting walls alone would misattribute steal to the
         # wrong leg, defeating the contamination-audit purpose
         results[cores]["leg_walls"] = [round(r["wall_sec"], 2) for r in rs]
         results[cores]["leg_steal"] = [r.get("steal_jiffies") for r in rs]
     ceiling = _hardware_parallel_ceiling()
-    t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
-    # headline = median of the PAIRED per-rep ratios: each (8,32) pair
-    # runs back-to-back in the same noise window, so the ratio is taken
-    # between comparable conditions; the medians-of-legs ratio (kept as
-    # context) can pair one leg's quiet window with the other's
-    # saturated one on this drifting shared VM
-    eff = sorted(pair_effs)[len(pair_effs) // 2]
+    if skip_ctx:
+        t8 = t32 = eff = None
+    else:
+        t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
+        # headline = median of the PAIRED per-rep ratios: each (8,32)
+        # pair runs back-to-back in the same noise window, so the ratio
+        # is taken between comparable conditions; the medians-of-legs
+        # ratio (kept as context) can pair one leg's quiet window with
+        # the other's saturated one on this drifting shared VM
+        eff = sorted(pair_effs)[len(pair_effs) // 2]
     summary = {
         # history compat: "value" has always been the 8→32 ratio and
         # stays so; the criterion headline is the raw N→4N 4v16 pair
@@ -564,26 +577,26 @@ def run_scaling() -> dict:
         # criterion section above
         "headline_metric": "scaling_efficiency_raw_N_to_4N_4v16_minleg",
         "headline_value": round(eff_s, 3),
-        "value": round(eff, 3),
+        "value": round(eff, 3) if eff is not None else None,
         "unit": "ratio",
         "queries": {
-            "scaling_job_local8_sec": round(t8, 2),
-            "scaling_job_local32_sec": round(t32, 2),
+            "scaling_job_local8_sec": round(t8, 2) if t8 else None,
+            "scaling_job_local32_sec": round(t32, 2) if t32 else None,
         },
         "pair_efficiencies": [round(e, 3) for e in pair_effs],
-        "median_leg_ratio": round((t8 / t32) / 4.0, 3),
+        "median_leg_ratio": round((t8 / t32) / 4.0, 3) if t8 else None,
         "sf": -1.0,
         "throughput_images_per_sec": {
-            "local8": round(results[8]["images_per_sec"], 1),
-            "local32": round(results[32]["images_per_sec"], 1),
+            f"local{c}": round(results[c]["images_per_sec"], 1)
+            for c in (8, 32) if c in results
         },
         "leg_walls_sec": {
-            "local8": results[8].get("leg_walls", []),
-            "local32": results[32].get("leg_walls", []),
+            f"local{c}": results[c].get("leg_walls", [])
+            for c in (8, 32) if c in results
         },
         "leg_steal_jiffies": {
-            "local8": results[8].get("leg_steal", []),
-            "local32": results[32].get("leg_steal", []),
+            f"local{c}": results[c].get("leg_steal", [])
+            for c in (8, 32) if c in results
         },
         "hardware_ceiling_8_to_32": ceiling["ceiling_8_to_32"],
         "bandwidth_ceiling_8_to_32": ceiling["bandwidth_ceiling_8_to_32"],
@@ -625,9 +638,14 @@ def run_scaling() -> dict:
             "of pair ratios kept as context). Steal jiffies (>=%d dirty) "
             "and bracketing single-core bandwidth probes (<%.2f of "
             "session-best dirty) are recorded per attempt as "
-            "contamination diagnostics only. Then interleaved (8,32) "
-            "pairs x3 as context; taskset-pinned."
+            "contamination diagnostics only. "
             % (STEAL_CLEAN_JIFFIES, BW_CLEAN_FRAC)
+            + ("8/32 context section SKIPPED this run "
+               "(SPARK_GRAFT_SKIP_8_32_CONTEXT=1, campaign fast-cycle; "
+               "8/32 context carried by prior runs in the table below)."
+               if skip_ctx else
+               "Then interleaved (8,32) pairs x3 as context; "
+               "taskset-pinned.")
         ),
     }
     # CONTEXT ONLY, never folded into the criterion: efficiency divided
@@ -635,10 +653,12 @@ def run_scaling() -> dict:
     # probe did NOT bind the actual job (probe mismatch — e.g. the job
     # is less bandwidth-bound than the 128 MB numpy stream), so the
     # ratio says nothing about the ≥0.8 criterion; flag it as such.
-    binding = min(ceiling["ceiling_8_to_32"], ceiling["bandwidth_ceiling_8_to_32"])
-    ratio = round(eff / max(binding, 1e-9), 3)
-    summary["efficiency_vs_hardware_ceiling"] = ratio
-    summary["ceiling_probe_mismatch"] = ratio > 1.0
+    if eff is not None:
+        binding = min(ceiling["ceiling_8_to_32"],
+                      ceiling["bandwidth_ceiling_8_to_32"])
+        ratio = round(eff / max(binding, 1e-9), 3)
+        summary["efficiency_vs_hardware_ceiling"] = ratio
+        summary["ceiling_probe_mismatch"] = ratio > 1.0
     # every official run is appended — BENCH.md shows the full history,
     # not a cherry-picked best
     hist_path = os.path.join(os.path.dirname(__file__) or ".", "BENCH_history.jsonl")
@@ -683,9 +703,13 @@ def _history_summary(history: list[dict] | None) -> str:
         n = len(vals)
         return vals[n // 2] if n % 2 else round((vals[n // 2 - 1] + vals[n // 2]) / 2, 3)
 
-    n = len(history)
-    med_raw = _med([h["value"] for h in history])
-    n_pass = sum(1 for h in history if h["value"] >= 0.8)
+    # runs launched with SPARK_GRAFT_SKIP_8_32_CONTEXT=1 have no 8/32
+    # context legs (value is None) — the 8/32 context stats cover the
+    # runs that measured it
+    vals_8_32 = [h["value"] for h in history if h.get("value") is not None]
+    n = len(vals_8_32)
+    med_raw = _med(vals_8_32)
+    n_pass = sum(1 for v in vals_8_32 if v >= 0.8)
     ctrl = [h["value_4_to_16"] for h in history if "value_4_to_16" in h]
     # ONE estimator for the whole series: min-of-walls applied
     # retroactively and UNIFORMLY to every recorded run's legs (all
@@ -724,6 +748,8 @@ def _history_summary(history: list[dict] | None) -> str:
     # runs only have the ALU ceiling.
     ratios = []
     for h in history:
+        if h.get("value") is None:
+            continue
         ceilings = [
             h[k]
             for k in ("hardware_ceiling_8_to_32", "bandwidth_ceiling_8_to_32")
@@ -736,7 +762,8 @@ def _history_summary(history: list[dict] | None) -> str:
     return (
         f"\n{ctrl_note}"
         f"The 8→32 pairing is kept as context: median raw 8→32 efficiency "
-        f"across all {n} official runs = {med_raw}; {n_pass}/{n} met ≥0.8 "
+        f"across the {n} official runs that measured it = {med_raw}; "
+        f"{n_pass}/{n} met ≥0.8 "
         "— those legs are hostage to asymmetric steal (a 32-wide leg "
         "needs every vCPU of this shared box, so co-tenant activity is "
         "charged against it while the 8-wide leg coexists untouched), "
@@ -769,6 +796,34 @@ def _write_bench_md(s: dict, history: list[dict] | None = None) -> None:
                 "local4": min(a["wall4"] for a in att),
                 "local16": min(a["wall16"] for a in att),
             }
+    if s.get("value") is not None:
+        ctx_8_32 = f"""Context — the same measurement at 8 vs 32:
+
+| parallelism | median wall (s) | images/sec |
+|---|---|---|
+| local[8], pinned 8 CPUs   | {s['queries']['scaling_job_local8_sec']} | {s['throughput_images_per_sec']['local8']} |
+| local[32], pinned 32 CPUs | {s['queries']['scaling_job_local32_sec']} | {s['throughput_images_per_sec']['local32']} |
+
+8→32 efficiency = median of per-pair (T_8/T_32)/4 =
+{s['value']} (pairs {s.get('pair_efficiencies', '—')},
+medians-of-legs ratio {s.get('median_leg_ratio', '—')}).
+A 32-wide leg needs EVERY vCPU of this shared box, so any co-tenant
+activity is charged against it as steal while an 8-wide leg coexists
+untouched — runs 21-22 recorded 14k-38k steal jiffies on their 32
+legs against near-clean 8 legs; those collapses are host topology,
+not the engine, which is why 8→32 is context rather than headline.
+The engine's ratio against the smaller of this run's two hardware
+probes is **{s.get('efficiency_vs_hardware_ceiling', '—')}**{" (probe mismatch: ratio > 1 means the probe did not bind the actual job, so this ratio carries no criterion weight)" if s.get('ceiling_probe_mismatch') else ""}."""
+    else:
+        ctx_8_32 = (
+            "Context — 8 vs 32: SKIPPED this run "
+            "(SPARK_GRAFT_SKIP_8_32_CONTEXT=1, campaign fast-cycle — the "
+            "criterion pairs are banked before this section would run, "
+            "and on this shared box ~12 min of context legs spend "
+            "exactly the clean-window time the next run's launch gate "
+            "needs; the 8/32 context is carried by the prior runs in "
+            "the history table below)."
+        )
     md = f"""# BENCH — scaling evidence (two parallelism levels)
 
 North-rule criterion: throughput scaling efficiency ≥ 0.8 between N and
@@ -840,21 +895,7 @@ and 29.3 s ideal at 16 — the recorded per-leg minima across runs
 clean 4→16 scaling is ≈1.0 and every sub-0.8 pair ratio in the
 history coincides with a contaminated window on one of its legs.
 
-Context — the same measurement at 8 vs 32:
-
-| parallelism | median wall (s) | images/sec |
-|---|---|---|
-| local[8], pinned 8 CPUs   | {s['queries']['scaling_job_local8_sec']} | {s['throughput_images_per_sec']['local8']} |
-| local[32], pinned 32 CPUs | {s['queries']['scaling_job_local32_sec']} | {s['throughput_images_per_sec']['local32']} |
-
-8→32 efficiency = median of per-pair (T_8/T_32)/4 =
-{s['value']} (pairs {s.get('pair_efficiencies', '—')},
-medians-of-legs ratio {s.get('median_leg_ratio', '—')}).
-A 32-wide leg needs EVERY vCPU of this shared box, so any co-tenant
-activity is charged against it as steal while an 8-wide leg coexists
-untouched — runs 21-22 recorded 14k-38k steal jiffies on their 32
-legs against near-clean 8 legs; those collapses are host topology,
-not the engine, which is why 8→32 is context rather than headline.
+{ctx_8_32}
 
 Context — what this box physically allows, measured alongside each
 run (no Spark, multiprocessing): an 8→32-process ALU burn scales at
@@ -862,8 +903,7 @@ run (no Spark, multiprocessing): an 8→32-process ALU burn scales at
 probe at **{s.get('bandwidth_ceiling_8_to_32', '—')}** — one shared
 socket cannot emulate four nodes' worth of memory controllers, so when
 a co-tenant saturates bandwidth the 32-wide leg starves while the
-8-wide leg barely notices. The engine's ratio against the smaller
-probe is **{s['efficiency_vs_hardware_ceiling']}**{" (probe mismatch: ratio > 1 means the probe did not bind the actual job, so this ratio carries no criterion weight)" if s.get('ceiling_probe_mismatch') else ""}.
+8-wide leg barely notices.
 These probe columns are context for reading raw swings on a shared
 host; the criterion itself is judged on RAW efficiency only.
 
@@ -1012,9 +1052,13 @@ Generated by `python bench.py --scaling`.
             "|---|---|---|---|---|---|---|---|\n"
         )
         for i, h in enumerate(history, 1):
+            q = h.get("queries") or {}
+            t8v = q.get("scaling_job_local8_sec")
+            t32v = q.get("scaling_job_local32_sec")
             md += (
-                f"| {i} | {h['queries']['scaling_job_local8_sec']} "
-                f"| {h['queries']['scaling_job_local32_sec']} | {h['value']} "
+                f"| {i} | {'—' if t8v is None else t8v} "
+                f"| {'—' if t32v is None else t32v} "
+                f"| {'—' if h.get('value') is None else h['value']} "
                 f"| {h.get('value_4_to_16', '—')} "
                 f"| {_minleg_retro(h) or '—'} "
                 f"| {h.get('hardware_ceiling_8_to_32', '—')} "

@@ -83,6 +83,34 @@ def test_write_bench_md_rerenders_under_uniform_estimator(tmp_path, monkeypatch)
     assert e["min_leg_walls_4_16"]["local16"] == 58.6
 
 
+def test_render_tolerates_skipped_8_32_context(tmp_path, monkeypatch):
+    # campaign fast-cycle runs (SPARK_GRAFT_SKIP_8_32_CONTEXT=1) record
+    # no 8/32 legs: value/walls are None and the dicts are empty. The
+    # renderer and history summary must handle a MIXED history — old
+    # full runs plus new context-skipped ones — without crashing, keep
+    # the 8/32 stats over only the runs that measured it, and show '—'
+    # in the skipped run's 8/32 columns.
+    skipped = _entry(
+        value=None,
+        median_leg_ratio=None,
+        queries={"scaling_job_local8_sec": None,
+                 "scaling_job_local32_sec": None},
+        throughput_images_per_sec={},
+        pair_efficiencies=[],
+        leg_walls_sec={},
+        leg_steal_jiffies={},
+    )
+    skipped.pop("efficiency_vs_hardware_ceiling")
+    full = _entry()
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    bench._write_bench_md(skipped, [full, skipped])
+    md = (tmp_path / "BENCH.md").read_text()
+    assert "| 2 | — | — | — |" in md  # skipped run's 8/32 columns
+    assert "| 1 | 10.0 | 8.0 | 0.3 |" in md  # full run intact
+    txt = bench._history_summary([full, skipped])
+    assert "the 1 official runs that measured it = 0.3" in txt
+
+
 def test_history_summary_recency_uses_uniform_series():
     runs = [
         _entry(pair_attempts_4_16=[{"eff": 1.0, "wall4": 120.0, "wall16": w,
