@@ -580,11 +580,12 @@ def run_scaling() -> dict:
         "value": round(eff, 3) if eff is not None else None,
         "unit": "ratio",
         "queries": {
-            "scaling_job_local8_sec": round(t8, 2) if t8 else None,
-            "scaling_job_local32_sec": round(t32, 2) if t32 else None,
+            "scaling_job_local8_sec": round(t8, 2) if t8 is not None else None,
+            "scaling_job_local32_sec": round(t32, 2) if t32 is not None else None,
         },
         "pair_efficiencies": [round(e, 3) for e in pair_effs],
-        "median_leg_ratio": round((t8 / t32) / 4.0, 3) if t8 else None,
+        "median_leg_ratio": (round((t8 / t32) / 4.0, 3)
+                             if t8 is not None else None),
         "sf": -1.0,
         "throughput_images_per_sec": {
             f"local{c}": round(results[c]["images_per_sec"], 1)
@@ -759,26 +760,38 @@ def _history_summary(history: list[dict] | None) -> str:
             ratios.append(round(h["value"] / min(ceilings), 3))
     med_ceil = _med(ratios)
     n_mismatch = sum(1 for r in ratios if r > 1.0)
-    return (
-        f"\n{ctrl_note}"
-        f"The 8→32 pairing is kept as context: median raw 8→32 efficiency "
-        f"across the {n} official runs that measured it = {med_raw}; "
-        f"{n_pass}/{n} met ≥0.8 "
-        "— those legs are hostage to asymmetric steal (a 32-wide leg "
-        "needs every vCPU of this shared box, so co-tenant activity is "
-        "charged against it while the 8-wide leg coexists untouched), "
-        "which is host topology, not the engine. "
-        "Raw efficiency is the number the criterion is judged on. As "
-        f"context only: the median ratio against each run's smallest "
-        f"concurrently-measured hardware probe is {med_ceil}, and "
-        f"{n_mismatch}/{len(ratios)} runs have ratio > 1 — i.e. the probe "
-        "did NOT bind the job in those runs (probe mismatch), so the "
-        "ratio is evidence the shared host, not the engine, failed to "
-        "scale — not a substitute for the raw criterion. The per-run "
-        "ceiling columns below record the box's own 8→32 scaling at "
-        "measurement time; runs where the box scales poorly are exactly "
-        "the runs where raw efficiency collapses."
-    )
+    # the 8→32 context stats only exist for runs that measured that
+    # pair; a history of pure campaign fast-cycle runs (context skipped)
+    # has none, and rendering "across the 0 official runs ... = None"
+    # would be garbled — omit the whole context paragraph instead
+    ctx_8_32 = ""
+    if vals_8_32:
+        ctx_8_32 = (
+            f"The 8→32 pairing is kept as context: median raw 8→32 "
+            f"efficiency across the {n} official "
+            f"run{'' if n == 1 else 's'} that measured it = {med_raw}; "
+            f"{n_pass}/{n} met ≥0.8 "
+            "— those legs are hostage to asymmetric steal (a 32-wide leg "
+            "needs every vCPU of this shared box, so co-tenant activity "
+            "is charged against it while the 8-wide leg coexists "
+            "untouched), which is host topology, not the engine. "
+            "Raw efficiency is the number the criterion is judged on."
+        )
+        if ratios:
+            ctx_8_32 += (
+                f" As context only: the median ratio against each run's "
+                f"smallest concurrently-measured hardware probe is "
+                f"{med_ceil}, and {n_mismatch}/{len(ratios)} runs have "
+                "ratio > 1 — i.e. the probe did NOT bind the job in "
+                "those runs (probe mismatch), so the ratio is evidence "
+                "the shared host, not the engine, failed to scale — not "
+                "a substitute for the raw criterion. The per-run "
+                "ceiling columns below record the box's own 8→32 "
+                "scaling at measurement time; runs where the box scales "
+                "poorly are exactly the runs where raw efficiency "
+                "collapses."
+            )
+    return f"\n{ctrl_note}{ctx_8_32}"
 
 
 def _write_bench_md(s: dict, history: list[dict] | None = None) -> None:
@@ -1081,4 +1094,28 @@ if __name__ == "__main__":
         _write_bench_md(_hist[-1], _hist)
         print(json.dumps({"rendered": "BENCH.md", "runs": len(_hist)}))
     else:
-        print(json.dumps(run_default()))
+        _out = run_default()
+        # The full record (per-leg walls, steal arrays, methodology
+        # prose) can outrun a bounded tail capture of stdout — round 4's
+        # driver recorded "parsed": null because the single giant JSON
+        # line was truncated mid-object. Keep the full record available
+        # (stderr + a sidecar file) and make the LAST stdout line a
+        # compact headline summary that any tail capture parses whole.
+        print("# FULL_RESULT " + json.dumps(_out), file=sys.stderr)
+        try:
+            with open(os.path.join(os.path.dirname(__file__) or ".",
+                                   "BENCH_full_local.json"), "w") as _f:
+                json.dump(_out, _f)
+        except OSError:
+            pass
+        _compact = {
+            k: _out[k]
+            for k in (
+                "metric", "value", "unit", "queries", "sf", "cpus",
+                "flagship_images_per_sec", "tile_pipeline_images_per_sec",
+                "bw_probe_mb_s",
+            )
+            if k in _out
+        }
+        _compact["full_record"] = "BENCH_full_local.json"
+        print(json.dumps(_compact))

@@ -79,33 +79,43 @@ def cosine_topk_fast(
     c_vec: str = "embedding",
     exclude_self: bool = True,
     max_inline_corpus: int = 2_000_000,
+    max_inline_bytes: int = 512 * 2**20,
 ) -> DataFrame:
     """Exact top-k with the corpus as a broadcast numpy matrix: one
     matmul per Arrow batch; the fact side streams, nothing shuffles.
     The matrix ships via SparkContext.broadcast — once per executor,
     not once per task as a closure would.
 
-    An over-limit corpus must never reach the driver unbounded: the
-    collect itself runs under limit(max_inline_corpus+1), so ONE job
-    both fetches the matrix (common case: corpus fits, limit is a
-    no-op) and detects overflow — a separate count pre-check would
-    re-run the corpus lineage (scans/joins/decodes) twice per call.
-    On overflow the partial pull is discarded and we fall back to
-    `cosine_topk_blocked` — block-partitioned exact top-k with NO
-    driver collect and NO full-corpus broadcast (the old
-    broadcast-nested-loop fallback shipped the very corpus the limit
-    deemed too large to every executor) — same output, same
-    tie-breaks."""
-    ids, M = _collect_matrix(corpus.limit(max_inline_corpus + 1), c_id, c_vec)
-    if len(ids) > max_inline_corpus:
+    Guard convention (shared with ``knn.knn_bruteforce``): count-guard
+    BEFORE any driver pull. The inline budget is BYTES, not rows — the
+    driver cost of a corpus matrix is rows × dim × 8 B, so a row cap
+    alone is dimension-blind (2M rows of 128-d float64 ≈ 2 GB, nothing
+    like knn's ~50 MB at the same row count). One first() probes the
+    vector width, the row budget becomes
+    min(max_inline_corpus, max_inline_bytes // (dim × 8)), and a
+    limit(budget+1).count() decides the path — the count short-circuits
+    after budget+1 rows and pulls no data to the driver. This costs one
+    bounded extra lineage evaluation vs the old collect-once-and-discard
+    approach; chosen because the failure mode it removes (a multi-GB
+    driver materialization thrown away on overflow) is catastrophic
+    while the cost it adds is a truncated scan.
+
+    On overflow: `cosine_topk_blocked` — block-partitioned exact top-k
+    with NO driver collect and NO full-corpus broadcast — same output,
+    same tie-breaks."""
+    first = corpus.select(F.size(F.col(c_vec)).alias("d")).first()
+    dim = int(first["d"]) if first is not None and first["d"] is not None else 1
+    row_budget = min(max_inline_corpus, max(1, max_inline_bytes // (dim * 8)))
+    if corpus.limit(row_budget + 1).count() > row_budget:
         return cosine_topk_blocked(
             queries, corpus, k,
             q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec,
             exclude_self=exclude_self,
             # block size bounds TASK memory, not driver memory — cap it
             # well under the driver-collect guard
-            block_rows=min(max_inline_corpus, 65536),
+            block_rows=min(row_budget, 65536),
         )
+    ids, M = _collect_matrix(corpus, c_id, c_vec)
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     bc = tracked_broadcast(
         queries.sparkSession.sparkContext, (ids, Mn), "ann_corpus_matrix"
@@ -267,7 +277,17 @@ def kmeans_centroids(
     ~ sqrt(corpus) is the usual IVF sizing. With `order_col` the sample
     is the TakeOrdered head (deterministic across runs/partitionings, so
     the whole IVF output is golden-pinnable); without it, `limit` takes
-    whatever rows arrive first — cheaper, order-dependent."""
+    whatever rows arrive first — cheaper, order-dependent.
+
+    Driver cost budget: the pull is `sample` rows (sample × dim × 8 B —
+    4096 × 128-d ≈ 4 MB) and each Lloyd iteration materializes an
+    O(sample × n_centroids × dim) broadcasted difference tensor
+    (4096 × 16 × 128 ≈ 64 MB transient at the defaults). Both scale
+    linearly in the caller's `sample`/`n_centroids` arguments, NOT in
+    corpus size — raising them far above the defaults (e.g. sample 1M)
+    moves the work to the driver and needs the pairwise loop rewritten
+    as chunked ||x||²+||c||²-2xCᵀ; at IVF's sizing (sample ≈ 256 ×
+    sqrt(n) centroids, centroids ≤ ~4k) the budget holds."""
     base = corpus.orderBy(order_col) if order_col else corpus
     pdf = base.select(vec_col).limit(sample).toPandas()
     X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)

@@ -66,9 +66,15 @@ def knn_bruteforce(
 
     Ties broken by (dist, entity_key) ascending — matches the SQL
     oracle's ORDER BY dist, key. Output: (q_key, e_key, dist_km, rank).
-    """
-    import pandas as pd
 
+    Guard convention (shared with ``ann.cosine_topk_fast``): count-guard
+    via limit(N+1).count() BEFORE any driver pull — nothing reaches the
+    driver on the overflow path. The count costs one bounded extra
+    lineage evaluation (it short-circuits after N+1 rows); the inline
+    budget here is rows because an entity row is a fixed ~24 B
+    (key, lon, lat) — 2M rows ≈ 50 MB — unlike the ANN corpus, whose
+    budget scales with vector width (see ``ann.py``).
+    """
     from ..functions.geometry import haversine_km
 
     q = queries.select(
@@ -178,8 +184,6 @@ def _knn_blocked(
     `q` arrives pre-projected by `knn_bruteforce` as
     (_q_key, _q_lon, _q_lat). Ties break by (dist, entity_key) asc —
     identical to the inline path and the SQL oracle."""
-    import pandas as pd
-
     from ..functions.geometry import haversine_km
 
     n_e = entities.count()
@@ -299,10 +303,32 @@ def knn_kring(
     e_lon: str = "lon",
     e_lat: str = "lat",
     max_inline_entities: int = 100_000,
+    salt_hot_cells: bool = True,
+    hot_cell_factor: float = 16.0,
+    hot_cell_min: int = 4096,
+    hot_cell_buckets: int = 8,
+    max_hot_cells: int = 64,
 ) -> DataFrame:
     """Exact kNN via k-ring candidate equi-join with provable-converged
     escalation. Scales when BOTH sides are big: the join is a cell
     equi-join (shuffle hash / sort-merge on cell), never a cross join.
+
+    Skew (SURVEY §4): a dense-city cell concentrates both entities and
+    candidate queries on ONE join key, and at 100× that key's shuffle
+    partition is the straggler. A cheap histogram pre-pass over the
+    CACHED entity side (one groupBy on the cell id) finds cells holding
+    > max(hot_cell_factor × mean, hot_cell_min) entities — bounded
+    driver pull of at most max_hot_cells ids — and the candidate
+    equi-join routes those cells through
+    ``spatial_join.salted_join_skewed`` (entity rows of hot cells
+    replicated ×hot_cell_buckets, query rows split across the buckets);
+    cold cells join with salt 0, zero replication. Result-neutral by
+    construction; `tests/test_knn_ann.py` pins salted == unsalted on a
+    planted city-density cell. AQE skew-join can't see this skew
+    because the hot key is born inside the explode, after the stage
+    boundary AQE splits on. Reference analog: the region-split
+    workaround for oversized areas
+    (produce_internal_divisions_for_regions_processed.py:185-195).
 
     Cost rule (regime selection): when the entity side fits in a
     broadcastable matrix (≤ max_inline_entities) the map-side
@@ -358,6 +384,22 @@ def knn_kring(
         )
     ent = ent.withColumn("_e_cell", C.cell_col(F.col("_e_lon"), F.col("_e_lat"), res))
 
+    hot_cells: list = []
+    if salt_hot_cells:
+        # histogram pre-pass over the cached entity side: one shuffle
+        # reduced to ~n_cells rows; the driver pull is bounded by
+        # max_hot_cells ids (longs), never entity data
+        hist = ent.groupBy("_e_cell").agg(F.count(F.lit(1)).alias("_c"))
+        mean_c = hist.agg(F.avg("_c").alias("m")).first()["m"] or 0.0
+        threshold = max(hot_cell_factor * float(mean_c), float(hot_cell_min))
+        hot_cells = [
+            r["_e_cell"]
+            for r in hist.filter(F.col("_c") > threshold)
+            .orderBy(F.desc("_c"))
+            .limit(max_hot_cells)
+            .collect()
+        ]
+
     remaining = queries.select(
         F.col(q_key).alias("_q_key"),
         F.col(q_lon).alias("_q_lon"),
@@ -370,22 +412,28 @@ def knn_kring(
         # one cell, so (query, entity) pairs are already unique — no
         # dedup shuffle needed. k_ring_col is a pure Catalyst expression:
         # the candidate generator has NO Python stage.
-        cand = (
-            remaining.withColumn(
-                "_e_cell",
-                F.explode(
-                    F.array_distinct(
-                        C.k_ring_col(F.col("_q_lon"), F.col("_q_lat"), res, ring)
-                    )
-                ),
+        exploded = remaining.withColumn(
+            "_e_cell",
+            F.explode(
+                F.array_distinct(
+                    C.k_ring_col(F.col("_q_lon"), F.col("_q_lat"), res, ring)
+                )
+            ),
+        )
+        if hot_cells:
+            from .spatial_join import salted_join_skewed
+
+            joined = salted_join_skewed(
+                exploded, ent, "_e_cell", hot_cells,
+                salt_buckets=hot_cell_buckets,
             )
-            .join(ent, "_e_cell")
-            .withColumn(
-                "dist_km",
-                haversine_col(
-                    F.col("_q_lon"), F.col("_q_lat"), F.col("_e_lon"), F.col("_e_lat")
-                ),
-            )
+        else:
+            joined = exploded.join(ent, "_e_cell")
+        cand = joined.withColumn(
+            "dist_km",
+            haversine_col(
+                F.col("_q_lon"), F.col("_q_lat"), F.col("_e_lon"), F.col("_e_lat")
+            ),
         )
         w = Window.partitionBy("_q_key").orderBy(F.asc("dist_km"), F.asc("_e_key"))
         # localCheckpoint: materialize this round's candidates once —

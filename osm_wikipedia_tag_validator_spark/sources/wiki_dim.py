@@ -149,3 +149,163 @@ def assert_wiki_dim(wiki: DataFrame) -> DataFrame:
             f"{WIKI_DIM_SCHEMA})"
         )
     return wiki
+
+
+# ---------------------------------------------------------------------------
+# Real-data ingestion: the public wikidata JSON dump format → dim
+# ---------------------------------------------------------------------------
+
+#: the slice of a wikidata entity document the dim consumes — everything
+#: else (labels, descriptions, aliases, other claims) is column-pruned at
+#: parse time by giving from_json this schema instead of inferring.
+WIKIDATA_DUMP_SCHEMA = (
+    "id string, type string, "
+    "claims struct<"
+    "P31: array<struct<mainsnak: struct<"
+    "datavalue: struct<value: struct<id: string>>>>>, "
+    "P625: array<struct<mainsnak: struct<"
+    "datavalue: struct<value: struct<latitude: double, longitude: double>>>>>"
+    ">, "
+    "sitelinks map<string,struct<site: string, title: string>>"
+)
+
+#: Q-id of "Wikimedia disambiguation page" — the P31 class the reference
+#: checks for its "link to a disambiguation page" family
+#: (generate_webpage_with_error_output.py:874).
+DISAMBIGUATION_CLASS = "Q4167410"
+
+#: sitelink sites that are NOT language wikipedias (their keys also end
+#: in "wiki" but carry no language); excluded from the sitelinks map.
+NON_WIKIPEDIA_SITES = (
+    "commonswiki", "specieswiki", "metawiki", "mediawikiwiki",
+    "wikidatawiki", "sourceswiki", "foundationwiki", "outreachwiki",
+)
+
+
+def wikidata_dump_to_dim(
+    spark,
+    path: str,
+    preferred_langs: tuple[str, ...] = ("en",),
+    instance_of_map: dict[str, str] | None = None,
+    redirects_path: str | None = None,
+) -> DataFrame:
+    """Parse a wikidata entity dump into the validator's dim — the
+    real-data seam: `latest-all.json`-shaped input in, `validate()`-ready
+    dimension out, entirely Catalyst (no Python row loop; from_json with
+    an explicit pruning schema, higher-order functions over sitelinks).
+
+    Accepted layout: the PUBLIC dump format — one entity JSON document
+    per line, either bare (ndjson, what `wikibase-dump-filter` emits) or
+    wrapped in the dump's one-big-array framing (`[` / `]` lines,
+    trailing commas) — read as text, framing stripped, from_json'd.
+    Unparsable lines and non-item entities are dropped, not errors
+    (properties/lexemes share the dump).
+
+    Field mapping (entity document → contract):
+      id → qid;  sitelinks.{L}wiki.title → sitelinks[L] = "L:Title"
+      (non-wikipedia sites excluded, "_" in dump lang keys → "-");
+      article/lang = first `preferred_langs` sitelink, else the
+      lexicographically-smallest language; claims.P31[0] → instance_of
+      (optionally translated via `instance_of_map` — wikidata classes →
+      the engine's instance keys, `error_catalog.instance_key`);
+      P31 ∋ Q4167410 → is_disambiguation; claims.P625[0] → lat/lon;
+      presence in the dump → exists=true (a qid the elements reference
+      but the dim lacks IS the 404 family, carried by the validator's
+      left joins). Redirected entities are published as a separate list,
+      not dump documents — pass `redirects_path` (ndjson
+      {"from": qid, "to": qid}) to fill redirect_to.
+
+    Scale note: the parse is one pass of text → from_json; the dim
+    contract's pre-filter rule applies unchanged (semi-join a full dump
+    to the referenced qids BEFORE handing the result to the validator,
+    which broadcasts four projections of it).
+    """
+    line = F.regexp_replace(F.trim(F.col("value")), ",$", "")
+    doc = F.from_json(line, WIKIDATA_DUMP_SCHEMA)
+    items = (
+        spark.read.text(path)
+        .select(doc.alias("e"))
+        .filter(F.col("e.id").isNotNull() & (F.col("e.type") == "item"))
+        .select("e.*")
+    )
+
+    def _lang(key):
+        return F.translate(F.regexp_replace(key, "wiki$", ""), "_", "-")
+
+    wp_entries = F.filter(
+        F.map_entries(F.coalesce(
+            F.col("sitelinks"),
+            F.from_json(F.lit("{}"), "map<string,struct<site:string,title:string>>"),
+        )),
+        lambda e: e["key"].endswith("wiki") & ~e["key"].isin(*NON_WIKIPEDIA_SITES),
+    )
+    sl = F.map_from_entries(
+        F.transform(
+            wp_entries,
+            lambda e: F.struct(
+                _lang(e["key"]).alias("key"),
+                F.concat(_lang(e["key"]), F.lit(":"), e["value"]["title"]).alias("value"),
+            ),
+        )
+    )
+    p31 = F.coalesce(
+        F.transform(
+            F.col("claims.P31"), lambda c: c["mainsnak"]["datavalue"]["value"]["id"]
+        ),
+        F.array().cast("array<string>"),
+    )
+    coord = F.get(F.col("claims.P625"), 0)["mainsnak"]["datavalue"]["value"]
+
+    parsed = items.select(
+        F.col("id").alias("qid"),
+        sl.alias("sitelinks"),
+        F.get(p31, 0).alias("_inst_qid"),
+        F.array_contains(p31, DISAMBIGUATION_CLASS).alias("is_disambiguation"),
+        coord["latitude"].alias("lat"),
+        coord["longitude"].alias("lon"),
+    )
+    pick = F.coalesce(
+        *[F.try_element_at(F.col("sitelinks"), F.lit(l)) for l in preferred_langs],
+        F.try_element_at(
+            F.col("sitelinks"), F.array_min(F.map_keys(F.col("sitelinks")))
+        ),
+    )
+    parsed = parsed.withColumn("article", pick).withColumn(
+        "lang", F.split(F.col("article"), ":", 2)[0]
+    )
+    if instance_of_map:
+        m = F.create_map(*[F.lit(x) for kv in instance_of_map.items() for x in kv])
+        inst = F.coalesce(F.try_element_at(m, F.col("_inst_qid")), F.col("_inst_qid"))
+    else:
+        inst = F.col("_inst_qid")
+    parsed = parsed.withColumn("instance_of", inst).withColumn("exists", F.lit(True))
+
+    if redirects_path:
+        red = (
+            spark.read.schema("`from` string, `to` string")
+            .json(redirects_path)
+            .select(F.col("from").alias("qid"), F.col("to").alias("redirect_to"))
+        )
+        parsed = parsed.join(F.broadcast(red), "qid", "left")
+        # redirected entities are NOT published as dump documents — the
+        # sidecar is their only record, so redirect qids absent from the
+        # dump become their own dim rows: they resolve (exists=true, an
+        # HTTP fetch lands on the target), carry redirect_to, and have
+        # no content of their own
+        extra = red.join(parsed.select("qid"), "qid", "left_anti").select(
+            "qid",
+            "redirect_to",
+            F.lit(True).alias("exists"),
+            F.lit(None).cast("string").alias("article"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(False).alias("is_disambiguation"),
+            F.lit(None).cast("string").alias("instance_of"),
+            F.from_json(F.lit("{}"), "map<string,string>").alias("sitelinks"),
+            F.lit(None).cast("double").alias("lat"),
+            F.lit(None).cast("double").alias("lon"),
+        )
+        parsed = parsed.unionByName(extra, allowMissingColumns=True)
+    else:
+        parsed = parsed.withColumn("redirect_to", F.lit(None).cast("string"))
+
+    return build_wiki_entities_dim(parsed.drop("_inst_qid"))

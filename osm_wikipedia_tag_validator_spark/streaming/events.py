@@ -125,13 +125,29 @@ def rate_limited_batch(batch_df: DataFrame, quota: int,
     its pending table every loop,
     `osm_editor_bot_for_approved_tasks.py:488-512`).
     `rate_limited_sink`'s `defer_fn` is that re-enqueue hook."""
-    cols = _total_order(batch_df, order_cols)
-    take = batch_df.orderBy(*cols).limit(quota)
+    take, _ = rate_limited_split(batch_df, quota, order_cols)
     total = batch_df.count()
     return take, max(0, total - quota)
 
 
-def _total_order(batch_df: DataFrame, order_cols: list[str] | None) -> list[str]:
+def rate_limited_split(
+    batch_df: DataFrame, quota: int, order_cols: list[str] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The exact (sink, defer) partition `rate_limited_sink` applies per
+    micro-batch: both halves sort by the SAME total order, the sink half
+    is limit(quota), the defer half offset(quota). Because the order is
+    total (see `_total_order`), the two independent sorts agree up to
+    interchangeable full duplicates and the halves partition the batch
+    exactly as multisets — pinned by the colliding-keys property test in
+    tests/test_streaming_images.py."""
+    cols = _total_order(batch_df, order_cols)
+    return (
+        batch_df.orderBy(*cols).limit(quota),
+        batch_df.orderBy(*cols).offset(quota),
+    )
+
+
+def _total_order(batch_df: DataFrame, order_cols: list[str] | None) -> list:
     """A fully deterministic ordering for the quota split: the caller's
     `order_cols` extended with every remaining orderable column. The
     sink half (orderBy().limit(quota)) and the defer half
@@ -143,15 +159,22 @@ def _total_order(batch_df: DataFrame, order_cols: list[str] | None) -> list[str]
     the limit/offset halves partition the batch exactly as multisets —
     and the efficient TakeOrdered path is preserved (no single-partition
     row_number window over an arbitrarily large micro-batch).
-    MapType columns are skipped (not orderable in Spark)."""
+    MapType columns are not directly orderable in Spark, but SKIPPING
+    them would leave rows that differ ONLY in a map column tied — the
+    exact double-deliver/silent-drop hazard this helper exists to
+    prevent — so they participate via to_json(): the serialization is
+    deterministic per row instance (entry order is the stored order),
+    which keeps the order total."""
     from pyspark.sql.types import MapType
 
-    cols = list(order_cols) if order_cols else batch_df.columns[:1]
-    cols += [
-        f.name
-        for f in batch_df.schema.fields
-        if f.name not in cols and not isinstance(f.dataType, MapType)
-    ]
+    cols: list = list(order_cols) if order_cols else batch_df.columns[:1]
+    for f in batch_df.schema.fields:
+        if f.name in cols:
+            continue
+        if isinstance(f.dataType, MapType):
+            cols.append(F.to_json(F.col(f.name)))
+        else:
+            cols.append(f.name)
     return cols
 
 
@@ -170,17 +193,11 @@ def rate_limited_sink(stream_df: DataFrame, sink_fn, quota_per_batch: int,
     stream — the source will not re-deliver a committed batch — and
     the drop is logged."""
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        take, overflow = rate_limited_batch(batch_df, quota_per_batch, order_cols)
+        take, rest = rate_limited_split(batch_df, quota_per_batch, order_cols)
         sink_fn(take, batch_id)
+        overflow = max(0, batch_df.count() - quota_per_batch)
         if overflow:
             if defer_fn is not None:
-                # same TOTAL ordering as the sink half (_total_order) so
-                # limit/offset partition the batch exactly — see helper.
-                cols = _total_order(batch_df, order_cols)
-                rest = (
-                    batch_df.orderBy(*cols)
-                    .offset(quota_per_batch)
-                )
                 defer_fn(rest, batch_id)
             print(f"rate_limited_sink[{query_name}] batch {batch_id}: "
                   f"{'deferred' if defer_fn else 'DROPPED'} {overflow} rows "

@@ -108,7 +108,35 @@ def test_render_tolerates_skipped_8_32_context(tmp_path, monkeypatch):
     assert "| 2 | — | — | — |" in md  # skipped run's 8/32 columns
     assert "| 1 | 10.0 | 8.0 | 0.3 |" in md  # full run intact
     txt = bench._history_summary([full, skipped])
-    assert "the 1 official runs that measured it = 0.3" in txt
+    assert "the 1 official run that measured it = 0.3" in txt
+
+
+def test_history_summary_omits_8_32_context_when_never_measured():
+    # a history made ONLY of campaign fast-cycle runs (8/32 context
+    # skipped) has no 8→32 values at all; the summary must omit the
+    # context paragraph rather than render "across the 0 official
+    # runs ... = None"
+    skipped = [
+        _entry(
+            value=None,
+            median_leg_ratio=None,
+            queries={"scaling_job_local8_sec": None,
+                     "scaling_job_local32_sec": None},
+            throughput_images_per_sec={},
+            pair_efficiencies=[],
+            leg_walls_sec={},
+            leg_steal_jiffies={},
+        )
+        for _ in range(2)
+    ]
+    for s in skipped:
+        s.pop("efficiency_vs_hardware_ceiling")
+        s.pop("hardware_ceiling_8_to_32", None)
+        s.pop("bandwidth_ceiling_8_to_32", None)
+    txt = bench._history_summary(skipped)
+    assert "8→32" not in txt and "None" not in txt
+    # the 4→16 headline (the criterion series) must still render
+    assert "min-of-walls" in txt
 
 
 def test_history_summary_recency_uses_uniform_series():

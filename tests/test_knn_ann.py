@@ -174,3 +174,102 @@ def test_cosine_topk_fast_matches_native(spark):
     native = ANN.cosine_topk_native(q, df, k=4).toPandas().sort_values(["vec_id", "rank"])
     fast = ANN.cosine_topk_fast(q, df, k=4).toPandas().sort_values(["vec_id", "rank"])
     assert native["neighbor_id"].tolist() == fast["neighbor_id"].tolist()
+
+
+def test_knn_kring_salts_hot_city_cell(spark, monkeypatch):
+    """SURVEY §4 skew row: one city-density cell (half the entity table
+    in a single grid cell) must route the candidate equi-join through
+    salted_join_skewed — and the salted answer must be byte-equal to
+    the unsalted run AND to brute force (salting is result-neutral)."""
+    from osm_wikipedia_tag_validator_spark.operators import spatial_join as SJ
+
+    rng = np.random.default_rng(21)
+    n_hot, n_cold = 600, 300
+    epdf = pd.DataFrame(
+        {
+            "qid": np.arange(n_hot + n_cold, dtype=np.int64),
+            "lon": np.concatenate(
+                [10.0 + rng.uniform(-0.05, 0.05, n_hot), rng.uniform(-20, 40, n_cold)]
+            ),
+            "lat": np.concatenate(
+                [50.0 + rng.uniform(-0.05, 0.05, n_hot), rng.uniform(-10, 30, n_cold)]
+            ),
+        }
+    )
+    ents = spark.createDataFrame(epdf)
+    qpdf = pd.DataFrame(
+        {
+            "id": np.arange(30, dtype=np.int64),
+            "lon": rng.uniform(-20, 40, 30),
+            "lat": rng.uniform(-10, 30, 30),
+        }
+    )
+    qs = spark.createDataFrame(qpdf)
+
+    calls = []
+    real = SJ.salted_join_skewed
+
+    def spy(big, small, key, hot_keys, salt_buckets=8):
+        calls.append(list(hot_keys))
+        return real(big, small, key, hot_keys, salt_buckets=salt_buckets)
+
+    monkeypatch.setattr(SJ, "salted_join_skewed", spy)
+
+    kw = dict(k=3, q_key="id", e_key="qid", max_inline_entities=0, res=6,
+              hot_cell_min=64)
+    salted = KNN.knn_kring(qs, ents, **kw).toPandas().sort_values(["id", "rank"])
+    # the histogram pre-pass found the planted city cell and the salted
+    # plan fired (every escalation round routes through the salt)
+    assert calls and all(len(c) >= 1 for c in calls)
+
+    unsalted = (
+        KNN.knn_kring(qs, ents, salt_hot_cells=False, **kw)
+        .toPandas()
+        .sort_values(["id", "rank"])
+    )
+    assert salted["qid"].tolist() == unsalted["qid"].tolist()
+    assert np.allclose(salted["dist_km"].to_numpy(), unsalted["dist_km"].to_numpy())
+
+    exp = _numpy_knn(qpdf, epdf, 3)
+    for qid, grp in salted.groupby("id"):
+        assert grp.sort_values("rank")["qid"].tolist() == exp[int(qid)]
+
+
+def test_cosine_topk_fast_byte_budget_is_dimension_aware(spark, monkeypatch):
+    """The inline-corpus guard is a BYTE budget, not a row cap: wide
+    vectors must route to the blocked plan even when the row count is
+    far under max_inline_corpus (round-4 verdict item 3 — 2M × 128-d ×
+    8 B ≈ 2 GB is not the same driver cost as 2M (lon, lat) pairs)."""
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((60, 64)).astype(np.float32)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 8)
+
+    pulled = []
+    real = ANN._collect_matrix
+
+    def spy(corpus, c_id, c_vec):
+        ids, M = real(corpus, c_id, c_vec)
+        pulled.append(len(ids))
+        return ids, M
+
+    monkeypatch.setattr(ANN, "_collect_matrix", spy)
+    # byte budget allows 40/ (64*8) = 80... use 20*64*8 bytes → 20 rows
+    # < 60 corpus rows, while the ROW cap (1000) would have let it inline
+    got = (
+        ANN.cosine_topk_fast(
+            q, df, k=3, max_inline_corpus=1000, max_inline_bytes=20 * 64 * 8
+        )
+        .toPandas()
+        .sort_values(["vec_id", "rank"])
+    )
+    assert pulled == []  # overflow path: nothing collected to the driver
+    exp = ANN.cosine_topk_native(q, df, k=3).toPandas().sort_values(["vec_id", "rank"])
+    assert got["neighbor_id"].tolist() == exp["neighbor_id"].tolist()
+    assert np.allclose(got["cosine"].to_numpy(), exp["cosine"].to_numpy())
+
+    # same call with an ample byte budget stays on the inline matrix path
+    pulled.clear()
+    ANN.cosine_topk_fast(q, df, k=3, max_inline_corpus=1000).count()
+    assert pulled == [60]

@@ -24,10 +24,11 @@ def _embeddings(spark, n=60, dim=8):
 
 
 def test_cosine_topk_fast_over_limit_never_collects(spark, monkeypatch):
-    """An over-limit corpus must never reach the driver UNBOUNDED: the
-    single probe-collect runs under limit(max+1) — at most max+1 rows
-    pulled regardless of corpus size — then falls back to the JVM-side
-    native path and still returns the exact top-k."""
+    """An over-limit corpus must never reach the driver AT ALL: the
+    round-5 guard convention (unified with knn_bruteforce) decides via
+    one first() width probe + a limit(budget+1).count() — zero
+    _collect_matrix calls on the overflow path — then routes to the
+    blocked cogroup plan and still returns the exact top-k."""
     df = _embeddings(spark)
     q = df.filter(F.col("vec_id") < 10)
 
@@ -45,8 +46,10 @@ def test_cosine_topk_fast_over_limit_never_collects(spark, monkeypatch):
         .toPandas()
         .sort_values(["vec_id", "rank"])
     )
-    # exactly one bounded probe job, never the 60-row corpus
-    assert pulled == [11]
+    # NOTHING is collected on the overflow path — the count guard runs
+    # before any driver pull (the old convention pulled max+1 full
+    # embedding rows and discarded them)
+    assert pulled == []
     exp = (
         ANN.cosine_topk_native(q, df, k=3)
         .toPandas()

@@ -220,3 +220,38 @@ def test_rate_limited_sink_defer_hook(spark, tmp_path):
     assert sorted(sunk) == [0, 1, 2, 3]          # deterministic lowest-first
     assert sorted(deferred) == [4, 5, 6, 7, 8, 9]
     assert set(sunk).isdisjoint(deferred)
+
+
+def test_rate_limited_split_partitions_exactly_under_collisions(spark):
+    """Property test for the T8 quota split (round-4 verdict item 5):
+    with deliberately colliding order keys — duplicate key values, FULL
+    duplicate rows, and rows that differ ONLY in a MapType column — the
+    sink and defer halves must partition every micro-batch exactly as
+    multisets (no row reaches both, none is dropped), at every quota."""
+    from collections import Counter
+
+    rows = []
+    for i in range(12):
+        key = i % 2  # heavy key collisions
+        for rep in range(2):  # exact full-row duplicates
+            rows.append((key, f"p{i % 3}", {"a": str(i % 4)}))
+        # same orderable prefix as above, different MAP value only —
+        # the case the to_json sort key exists for
+        rows.append((key, f"p{i % 3}", {"a": f"only{i}"}))
+    df = spark.createDataFrame(
+        rows, "k int, payload string, tags map<string,string>"
+    ).repartition(8)  # many partitions so the two sorts run real jobs
+
+    def multiset(pdf):
+        return Counter(
+            (int(r.k), r.payload, tuple(sorted(r.tags.items())))
+            for r in pdf.itertuples()
+        )
+
+    whole = multiset(df.toPandas())
+    total = sum(whole.values())
+    for quota in (0, 1, 5, total // 2, total - 1, total, total + 10):
+        take, rest = SE.rate_limited_split(df, quota, order_cols=["k"])
+        tm, rm = multiset(take.toPandas()), multiset(rest.toPandas())
+        assert sum(tm.values()) == min(quota, total)
+        assert tm + rm == whole, f"quota={quota}: not an exact partition"
