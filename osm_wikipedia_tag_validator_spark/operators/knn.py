@@ -385,7 +385,14 @@ def knn_kring(
     ent = ent.withColumn("_e_cell", C.cell_col(F.col("_e_lon"), F.col("_e_lat"), res))
 
     hot_cells: list = []
-    if salt_hot_cells:
+    # the pre-pass only pays for itself when a single cell COULD become
+    # a straggler: below 8×hot_cell_min entities, even total
+    # concentration in one cell is a few thousand build rows — one task
+    # handles that in milliseconds, while the histogram job costs a
+    # measurable fraction of the whole query at small scale (measured
+    # ~0.4 s on the 15k-entity bench query, ~30%). At the scale the
+    # salt exists for (millions of entities) the pre-pass amortizes.
+    if salt_hot_cells and n_ent >= 8 * hot_cell_min:
         # histogram pre-pass over the cached entity side: one shuffle
         # reduced to ~n_cells rows; the driver pull is bounded by
         # max_hot_cells ids (longs), never entity data
