@@ -159,3 +159,35 @@ def test_cosine_topk_fast_has_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "Window" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_image_lineage_join_is_shuffle_hash_never_broadcast(spark):
+    """pipeline.image_tile_assignments pins `shuffle_hash` on the
+    image⋈lineage join: Catalyst's size estimate for mapInPandas output
+    inherits the tiny Range-leaf stats and would otherwise BROADCAST
+    gigabytes of image bytes at scale. The hint must survive into the
+    physical plan (SURVEY §4 join-strategy row; VERDICT r4 plan audit)."""
+    from osm_wikipedia_tag_validator_spark.plans import pipeline as P
+
+    inputs = P.build_inputs(spark, 300)
+    v = P.validated_elements(inputs)
+    tiles = P.image_tile_assignments(inputs["images"], v, inputs["polygons"])
+    plan = _plan(tiles)
+    # the element_id equi-join is shuffled-hash, not broadcast
+    sh = [seg for seg in plan.split("\n") if "ShuffledHashJoin" in seg]
+    assert any("element_id" in s for s in sh), plan[:4000]
+    bh = [seg for seg in plan.split("\n") if "BroadcastHashJoin" in seg]
+    assert not any("element_id" in s for s in bh), plan[:4000]
+
+
+def test_reference_compare_join_is_shuffle_hash(spark):
+    """images_ops.compare_against_reference joins two byte-carrying
+    fact tables full-outer on image_id — must stay shuffled-hash for
+    the same broadcast-of-bytes reason."""
+    from osm_wikipedia_tag_validator_spark.operators import images_ops as IO
+
+    imgs = W.spark_images(spark, 60)
+    plan = _plan(IO.compare_against_reference(imgs, imgs))
+    sh = [seg for seg in plan.split("\n") if "ShuffledHashJoin" in seg]
+    assert any("image_id" in s for s in sh), plan[:4000]
+    assert "BroadcastHashJoin" not in plan
