@@ -77,10 +77,18 @@ def run_flagship(spark, n_elements: int, n_images: int) -> dict:
         "error_catalog": W.spark_error_catalog(spark),
     }
     validated = P.validated_elements(inputs).cache()
-    n_reports = P.error_reports(validated, inputs["regions"]).count()
-    rollup_rows = P.region_rollup(validated, inputs["regions"], inputs["error_catalog"]).count()
-    tiles = P.image_tile_assignments(inputs["images"], validated, inputs["polygons"])
-    n_tiles = tiles.count()
+    # the three sinks are independent jobs over the shared cached
+    # lineage: submit them concurrently (plans/pipeline.py::
+    # materialize_concurrently — per-partition cache locks make the
+    # racing fill safe and single-compute)
+    counts = P.materialize_concurrently(
+        {
+            "reports": P.error_reports(validated, inputs["regions"]),
+            "rollup": P.region_rollup(validated, inputs["regions"], inputs["error_catalog"]),
+            "tiles": P.image_tile_assignments(inputs["images"], validated, inputs["polygons"]),
+        }
+    )
+    n_reports, rollup_rows, n_tiles = counts["reports"], counts["rollup"], counts["tiles"]
     validated.unpersist()
     wall = time.time() - t0
     return {

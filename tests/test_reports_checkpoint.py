@@ -261,3 +261,30 @@ def test_featured_rotation_fill_on_last_pool_entry_succeeds(spark):
     )
     assert out.loc["a", "featured"] and out.loc["b", "featured"]
     assert out.loc["b", "rotation_rank"] == 2
+
+
+def test_materialize_concurrently_matches_serial(spark):
+    """Concurrent sink materialization (one driver thread per output)
+    must return exactly the serial counts, including when the threads
+    race into a COLD shared cache — Spark's per-partition cache locks
+    make the fill single-compute."""
+    inputs = P.build_inputs(spark, 600)
+    validated = P.validated_elements(inputs).cache()  # cold: no count yet
+    outs = {
+        "reports": P.error_reports(validated, inputs["regions"]),
+        "rollup": P.region_rollup(validated, inputs["regions"], inputs["error_catalog"]),
+        "tiles": P.image_tile_assignments(inputs["images"], validated, inputs["polygons"]),
+    }
+    serial = {k: df.count() for k, df in outs.items()}
+    validated.unpersist()
+    validated = P.validated_elements(inputs).cache()
+    outs = {
+        "reports": P.error_reports(validated, inputs["regions"]),
+        "rollup": P.region_rollup(validated, inputs["regions"], inputs["error_catalog"]),
+        "tiles": P.image_tile_assignments(inputs["images"], validated, inputs["polygons"]),
+    }
+    concurrent = P.materialize_concurrently(outs)
+    validated.unpersist()
+    assert concurrent == serial
+    assert serial["reports"] > 0 and serial["tiles"] > 0
+    assert P.materialize_concurrently({}) == {}
