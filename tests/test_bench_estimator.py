@@ -150,3 +150,43 @@ def test_history_summary_recency_uses_uniform_series():
     txt = bench._history_summary(runs)
     assert "[1.0, 0.75, 0.6]" in txt
     assert "1/3 ≥ 0.8" in txt
+
+
+def test_keep_sampling_stops_at_base_when_stable():
+    # a clean window: legs within 2% of each other — exactly `base`
+    # legs and no more
+    walls = []
+    while bench._keep_sampling(walls, 3, 6):
+        walls.append(1.0)
+    assert len(walls) == 3
+
+
+def test_keep_sampling_extends_while_min_improves():
+    # a decaying contamination burst: each leg beats the running min by
+    # >2%, so sampling continues to the cap
+    seq = iter([10.0, 8.0, 6.0, 4.0, 3.0, 2.0, 1.0])
+    walls = []
+    while bench._keep_sampling(walls, 3, 6):
+        walls.append(next(seq))
+    assert len(walls) == 6  # cap binds
+
+
+def test_keep_sampling_stops_once_min_stabilizes():
+    # burst clears on leg 3: that leg improves the min >2% so sampling
+    # extends; leg 4 lands within 2% of the new min → stop at 4,
+    # inside the cap
+    seq = iter([10.0, 9.5, 5.0, 4.95, 1.0])
+    walls = []
+    while bench._keep_sampling(walls, 3, 6):
+        walls.append(next(seq))
+    assert len(walls) == 4
+    assert min(walls) == 4.95
+
+
+def test_keep_sampling_improvement_within_2pct_does_not_extend():
+    # a new min that is within 2% of the old one is noise, not a trend
+    walls = []
+    seq = iter([10.0, 10.0, 9.9])  # 9.9 = 1% improvement only
+    while bench._keep_sampling(walls, 3, 6):
+        walls.append(next(seq))
+    assert len(walls) == 3
