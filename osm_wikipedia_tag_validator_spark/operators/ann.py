@@ -103,8 +103,22 @@ def cosine_topk_fast(
     On overflow: `cosine_topk_blocked` — block-partitioned exact top-k
     with NO driver collect and NO full-corpus broadcast — same output,
     same tie-breaks."""
-    first = corpus.select(F.size(F.col(c_vec)).alias("d")).first()
-    dim = int(first["d"]) if first is not None and first["d"] is not None else 1
+    # a NULL vector has no cosine against anything: such rows can never
+    # appear in the output, so drop them at the boundary (they would
+    # otherwise poison np.vstack in whichever path runs)
+    corpus = corpus.filter(F.col(c_vec).isNotNull())
+    queries = queries.filter(F.col(q_vec).isNotNull())
+    # width probe: MAX size over a bounded sample, nulls excluded — a
+    # first() of one row silently reads dim=NULL→1 when that row's
+    # embedding is NULL, which would disable the byte budget entirely
+    probe = (
+        corpus.select(F.size(F.col(c_vec)).alias("d"))
+        .filter(F.col("d").isNotNull())
+        .limit(4096)
+        .agg(F.max("d").alias("d"))
+        .first()
+    )
+    dim = int(probe["d"]) if probe is not None and probe["d"] is not None else 1
     row_budget = min(max_inline_corpus, max(1, max_inline_bytes // (dim * 8)))
     if corpus.limit(row_budget + 1).count() > row_budget:
         return cosine_topk_blocked(
@@ -115,7 +129,9 @@ def cosine_topk_fast(
             # well under the driver-collect guard
             block_rows=min(row_budget, 65536),
         )
-    ids, M = _collect_matrix(corpus, c_id, c_vec)
+    # limit() keeps the transfer hard-bounded even if the lineage is
+    # nondeterministic and grew between the count job and this one
+    ids, M = _collect_matrix(corpus.limit(row_budget), c_id, c_vec)
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     bc = tracked_broadcast(
         queries.sparkSession.sparkContext, (ids, Mn), "ann_corpus_matrix"

@@ -396,16 +396,21 @@ def knn_kring(
         # histogram pre-pass over the cached entity side: one shuffle
         # reduced to ~n_cells rows; the driver pull is bounded by
         # max_hot_cells ids (longs), never entity data
-        hist = ent.groupBy("_e_cell").agg(F.count(F.lit(1)).alias("_c"))
-        mean_c = hist.agg(F.avg("_c").alias("m")).first()["m"] or 0.0
-        threshold = max(hot_cell_factor * float(mean_c), float(hot_cell_min))
-        hot_cells = [
-            r["_e_cell"]
-            for r in hist.filter(F.col("_c") > threshold)
-            .orderBy(F.desc("_c"))
-            .limit(max_hot_cells)
-            .collect()
-        ]
+        # cache the ~n_cells-row histogram so its groupBy shuffle runs
+        # once — the mean job fills the cache, the top-cells job reads it
+        hist = ent.groupBy("_e_cell").agg(F.count(F.lit(1)).alias("_c")).cache()
+        try:
+            mean_c = hist.agg(F.avg("_c").alias("m")).first()["m"] or 0.0
+            threshold = max(hot_cell_factor * float(mean_c), float(hot_cell_min))
+            hot_cells = [
+                r["_e_cell"]
+                for r in hist.filter(F.col("_c") > threshold)
+                .orderBy(F.desc("_c"))
+                .limit(max_hot_cells)
+                .collect()
+            ]
+        finally:
+            hist.unpersist()
 
     remaining = queries.select(
         F.col(q_key).alias("_q_key"),

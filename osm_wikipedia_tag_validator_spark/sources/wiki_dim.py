@@ -286,13 +286,23 @@ def wikidata_dump_to_dim(
             .json(redirects_path)
             .select(F.col("from").alias("qid"), F.col("to").alias("redirect_to"))
         )
-        parsed = parsed.join(F.broadcast(red), "qid", "left")
+        # persist the parse ONCE: both consumers below (the broadcast
+        # left join and the anti-join's qid probe) otherwise re-evaluate
+        # the full dump text-parse lineage — on a real latest-all.json
+        # that doubles the dominant cost of the build. MEMORY_AND_DISK:
+        # the parsed projection is far smaller than the raw dump but
+        # need not fit in memory. Spark's per-partition cache locks
+        # keep a racing fill compute-once.
+        from pyspark import StorageLevel
+
+        base = parsed.persist(StorageLevel.MEMORY_AND_DISK)
+        parsed = base.join(F.broadcast(red), "qid", "left")
         # redirected entities are NOT published as dump documents — the
         # sidecar is their only record, so redirect qids absent from the
         # dump become their own dim rows: they resolve (exists=true, an
         # HTTP fetch lands on the target), carry redirect_to, and have
         # no content of their own
-        extra = red.join(parsed.select("qid"), "qid", "left_anti").select(
+        extra = red.join(base.select("qid"), "qid", "left_anti").select(
             "qid",
             "redirect_to",
             F.lit(True).alias("exists"),

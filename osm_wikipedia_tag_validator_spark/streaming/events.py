@@ -159,19 +159,33 @@ def _total_order(batch_df: DataFrame, order_cols: list[str] | None) -> list:
     the limit/offset halves partition the batch exactly as multisets —
     and the efficient TakeOrdered path is preserved (no single-partition
     row_number window over an arbitrarily large micro-batch).
-    MapType columns are not directly orderable in Spark, but SKIPPING
-    them would leave rows that differ ONLY in a map column tied — the
-    exact double-deliver/silent-drop hazard this helper exists to
-    prevent — so they participate via to_json(): the serialization is
-    deterministic per row instance (entry order is the stored order),
-    which keeps the order total."""
-    from pyspark.sql.types import MapType
+    Map-bearing columns (MapType anywhere in the type tree — a bare
+    map, array<map>, or a struct field) are not orderable in Spark,
+    but SKIPPING them would leave rows that differ ONLY in such a
+    column tied — the exact double-deliver/silent-drop hazard this
+    helper exists to prevent — so they participate via to_json(): the
+    serialization is deterministic per row instance (entry order is
+    the stored order), which keeps the order total."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    # `cols` may hold Column objects (the to_json wrappers), so track
+    # already-covered fields by NAME in a separate set — `name in cols`
+    # against a Column would evaluate Column == str and crash on bool()
+    seen = set(order_cols) if order_cols else set(batch_df.columns[:1])
     cols: list = list(order_cols) if order_cols else batch_df.columns[:1]
     for f in batch_df.schema.fields:
-        if f.name in cols:
+        if f.name in seen:
             continue
-        if isinstance(f.dataType, MapType):
+        if _has_map(f.dataType):
             cols.append(F.to_json(F.col(f.name)))
         else:
             cols.append(f.name)

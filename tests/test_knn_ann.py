@@ -273,3 +273,46 @@ def test_cosine_topk_fast_byte_budget_is_dimension_aware(spark, monkeypatch):
     pulled.clear()
     ANN.cosine_topk_fast(q, df, k=3, max_inline_corpus=1000).count()
     assert pulled == [60]
+
+
+def test_cosine_topk_fast_null_first_row_cannot_defeat_byte_budget(spark):
+    """Regression (round-5 review): the vector-width probe read ONE row
+    with first(); a NULL embedding there read dim=NULL -> 1, inflating
+    the byte-derived row budget by the true dimension factor and taking
+    the inline driver-collect path on a corpus the budget was meant to
+    block. The probe must take the max size over non-null rows, so a
+    leading NULL routes the same corpus to the blocked plan."""
+    dim = 8
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((40, dim)).astype(np.float32)
+    rows = [(0, None)] + [
+        (i, [float(x) for x in X[i]]) for i in range(1, 40)
+    ]
+    # single partition in insertion order: the NULL row is the one a
+    # bare first() would read
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1)
+    q = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(1, 5)],
+        "vec_id long, embedding array<float>",
+    )
+    # byte budget admits 20 rows at the TRUE dim (8 × 8 B × 20 = 1280);
+    # a dim=1 misread would admit 160 rows and go inline
+    routed = {}
+    import osm_wikipedia_tag_validator_spark.operators.ann as ann_mod
+
+    real_blocked = ann_mod.cosine_topk_blocked
+
+    def spy(*a, **kw):
+        routed["blocked"] = True
+        return real_blocked(*a, **kw)
+
+    ann_mod.cosine_topk_blocked = spy
+    try:
+        out = ANN.cosine_topk_fast(q, df, k=3, max_inline_bytes=1280)
+        n = out.count()
+        assert n > 0
+    finally:
+        ann_mod.cosine_topk_blocked = real_blocked
+    assert routed.get("blocked"), "over-budget corpus took the inline path"

@@ -255,3 +255,57 @@ def test_rate_limited_split_partitions_exactly_under_collisions(spark):
         tm, rm = multiset(take.toPandas()), multiset(rest.toPandas())
         assert sum(tm.values()) == min(quota, total)
         assert tm + rm == whole, f"quota={quota}: not an exact partition"
+
+
+def test_rate_limited_split_map_column_not_last(spark):
+    """Regression (round-5 review): _total_order tracked handled fields
+    in the same list that holds to_json Column objects, so a map column
+    FOLLOWED by any other column crashed on `name in cols` (Column ==
+    str -> bool(Column) raises). The map-in-the-middle schema must split
+    exactly like the map-last one."""
+    from collections import Counter
+
+    rows = [(i % 2, {"a": str(i % 3)}, f"p{i}") for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "k int, tags map<string,string>, payload string"
+    ).repartition(4)
+
+    def multiset(pdf):
+        return Counter(
+            (int(r.k), tuple(sorted(r.tags.items())), r.payload)
+            for r in pdf.itertuples()
+        )
+
+    whole = multiset(df.toPandas())
+    take, rest = SE.rate_limited_split(df, 4, order_cols=["k"])
+    tm, rm = multiset(take.toPandas()), multiset(rest.toPandas())
+    assert sum(tm.values()) == 4
+    assert tm + rm == whole
+
+
+def test_rate_limited_split_nested_map_column(spark):
+    """Regression (round-5 review): a NESTED map (array<map<...>>) is
+    just as unorderable as a bare MapType but passed the old
+    isinstance check and crashed orderBy. It must route through
+    to_json like a top-level map and still break ties totally."""
+    from collections import Counter
+
+    rows = []
+    for i in range(8):
+        # identical orderable prefix; rows differ only in the nested map
+        rows.append((1, [{"h": f"v{i}"}], "p"))
+    df = spark.createDataFrame(
+        rows, "k int, hist array<map<string,string>>, payload string"
+    ).repartition(4)
+
+    def multiset(pdf):
+        return Counter(
+            (int(r.k), tuple(tuple(sorted(m.items())) for m in r.hist), r.payload)
+            for r in pdf.itertuples()
+        )
+
+    whole = multiset(df.toPandas())
+    take, rest = SE.rate_limited_split(df, 3, order_cols=["k"])
+    tm, rm = multiset(take.toPandas()), multiset(rest.toPandas())
+    assert sum(tm.values()) == 3
+    assert tm + rm == whole
