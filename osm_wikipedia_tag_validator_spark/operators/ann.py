@@ -108,17 +108,19 @@ def cosine_topk_fast(
     # otherwise poison np.vstack in whichever path runs)
     corpus = corpus.filter(F.col(c_vec).isNotNull())
     queries = queries.filter(F.col(q_vec).isNotNull())
-    # width probe: MAX size over a bounded sample, nulls excluded — a
-    # first() of one row silently reads dim=NULL→1 when that row's
-    # embedding is NULL, which would disable the byte budget entirely
+    # width probe: the first NON-NULL row's size — a bare first()
+    # silently read dim=NULL→1 when the first row's embedding was NULL,
+    # which disabled the byte budget entirely. first() short-circuits
+    # partition by partition, so this costs one row's scan (an
+    # agg(max) over a sample measured ~2× the whole query's job
+    # overhead at bench scale). Vector width is uniform by contract;
+    # a ragged corpus fails loudly at np.vstack in either path.
     probe = (
         corpus.select(F.size(F.col(c_vec)).alias("d"))
         .filter(F.col("d").isNotNull())
-        .limit(4096)
-        .agg(F.max("d").alias("d"))
         .first()
     )
-    dim = int(probe["d"]) if probe is not None and probe["d"] is not None else 1
+    dim = int(probe["d"]) if probe is not None else 1
     row_budget = min(max_inline_corpus, max(1, max_inline_bytes // (dim * 8)))
     if corpus.limit(row_budget + 1).count() > row_budget:
         return cosine_topk_blocked(
