@@ -41,7 +41,14 @@ def cosine_topk_native(
     c_vec: str = "embedding",
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Exact top-k neighbors, broadcast nested loop, JVM expressions."""
+    """Exact top-k neighbors, broadcast nested loop, JVM expressions.
+
+    Null-vector rows are dropped on both sides (uniform across the
+    whole family — fast/blocked/ivf do the same): a null embedding has
+    no cosine, and leaving it in would emit null-cosine rank rows
+    here while the numpy twins crash on np.vstack."""
+    queries = queries.filter(F.col(q_vec).isNotNull())
+    corpus = corpus.filter(F.col(c_vec).isNotNull())
     q = queries.select(F.col(q_id).alias("qid"), _as_double(q_vec).alias("qv"))
     c = F.broadcast(corpus.select(F.col(c_id).alias("cid"), _as_double(c_vec).alias("cv")))
     dot = F.aggregate(
@@ -207,6 +214,9 @@ def cosine_topk_blocked(
     Same rounding (6 dp before ranking) and tie-breaks (cosine desc,
     cid asc) as `cosine_topk_fast`/`cosine_topk_native` — byte-identical
     output."""
+    # family-uniform null-vector semantics (see cosine_topk_native)
+    queries = queries.filter(F.col(q_vec).isNotNull())
+    corpus = corpus.filter(F.col(c_vec).isNotNull())
     n_c = corpus.count()
     n_q = queries.count()
     n_cblk = max(1, -(-n_c // block_rows))
@@ -336,6 +346,9 @@ def ivf_topk(
     probe `nprobe` lists per query via an equi-join on list id — the
     cross join never materializes. Approximate (recall < 1 when the
     true neighbor lives in an unprobed list)."""
+    # family-uniform null-vector semantics (see cosine_topk_native)
+    queries = queries.filter(F.col(q_vec).isNotNull())
+    corpus = corpus.filter(F.col(c_vec).isNotNull())
     spark = queries.sparkSession
     C = kmeans_centroids(corpus, n_centroids, c_vec, order_col=c_id)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)

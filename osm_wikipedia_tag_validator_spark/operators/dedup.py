@@ -434,7 +434,13 @@ def embedding_neardup_pairs(
     that differ in ≥2 sign bits is not guaranteed — standard LSH
     tradeoff, measured in tests vs the brute-force oracle).
     """
+    # family-uniform null-vector semantics (see ann.cosine_topk_native):
+    # a null embedding has no cosine against anything and would crash
+    # both the width probe (int(None)) and np.vstack in the bucketer
+    df = df.filter(F.col(vec_col).isNotNull())
     dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return df.sparkSession.createDataFrame([], "id1 long, id2 long, cosine double")
     dim = int(dim_row["d"])
     rng = np.random.default_rng(12345)
     H = rng.standard_normal((planes, dim))

@@ -316,3 +316,30 @@ def test_cosine_topk_fast_null_first_row_cannot_defeat_byte_budget(spark):
     finally:
         ann_mod.cosine_topk_blocked = real_blocked
     assert routed.get("blocked"), "over-budget corpus took the inline path"
+
+
+def test_ann_family_uniform_null_vector_semantics(spark):
+    """Null-embedding rows are dropped at the boundary by EVERY path —
+    native previously emitted null-cosine rank rows while the numpy
+    paths crashed on np.vstack. All four must agree on a corpus and
+    query set containing nulls."""
+    rng = np.random.default_rng(21)
+    X = rng.standard_normal((60, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(60)]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter((F.col("vec_id") < 10) | (F.col("vec_id") >= 100))
+
+    def key(out):
+        p = out.toPandas().sort_values(["vec_id", "rank"])
+        return list(zip(p["vec_id"], p["rank"], p["neighbor_id"]))
+
+    native = key(ANN.cosine_topk_native(q, df, k=3))
+    assert native, "expected non-null queries to produce rows"
+    assert all(v < 100 for v, _, _ in native), "null-query rows leaked"
+    fast = key(ANN.cosine_topk_fast(q, df, k=3))
+    blocked = key(ANN.cosine_topk_blocked(q, df, k=3, block_rows=17))
+    assert native == fast == blocked
+    # ivf is approximate — only require it to run and drop null rows
+    ivf = ANN.ivf_topk(q, df, k=3, n_centroids=4, nprobe=4).toPandas()
+    assert (ivf["vec_id"] < 100).all()
