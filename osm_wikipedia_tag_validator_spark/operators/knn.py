@@ -77,6 +77,12 @@ def knn_bruteforce(
     """
     from ..functions.geometry import haversine_km
 
+    # null-coordinate rows have no distance to anything: drop them on
+    # both sides so all three strategies agree (the k-ring path's
+    # Catalyst cell expression already drops them — a null cell never
+    # joins — while NaN distances here would rank nondeterministically)
+    queries = queries.filter(F.col(q_lon).isNotNull() & F.col(q_lat).isNotNull())
+    entities = entities.filter(F.col(e_lon).isNotNull() & F.col(e_lat).isNotNull())
     q = queries.select(
         F.col(q_key).alias("_q_key"),
         F.col(q_lon).alias("_q_lon"),
@@ -349,6 +355,12 @@ def knn_kring(
     fine a grid on a sparse entity set needs huge rings (slow); too
     coarse degenerates to brute force per cell.
     """
+    # drop null-coordinate rows up front (same contract as
+    # knn_bruteforce): a null query cell generates no ring candidates
+    # and would otherwise spin in the escalation loop to max_ring
+    # before hitting the straggler cutoff for nothing
+    queries = queries.filter(F.col(q_lon).isNotNull() & F.col(q_lat).isNotNull())
+    entities = entities.filter(F.col(e_lon).isNotNull() & F.col(e_lat).isNotNull())
     if (
         max_inline_entities > 0
         and entities.limit(max_inline_entities + 1).count() <= max_inline_entities

@@ -343,3 +343,30 @@ def test_ann_family_uniform_null_vector_semantics(spark):
     # ivf is approximate — only require it to run and drop null rows
     ivf = ANN.ivf_topk(q, df, k=3, n_centroids=4, nprobe=4).toPandas()
     assert (ivf["vec_id"] < 100).all()
+
+
+def test_knn_family_uniform_null_coordinate_semantics(spark):
+    """Null-lon/lat rows are dropped by every kNN strategy: the k-ring
+    path's Catalyst cell expression drops them structurally (a null
+    cell never joins), so the brute-force matrix path must agree
+    instead of ranking NaN distances nondeterministically."""
+    ents, epdf = _dense_entities(spark, n=120)
+    ents = ents.unionByName(
+        spark.createDataFrame(
+            [(900, None, 10.0), (901, 10.0, None)], "qid long, lon double, lat double"
+        )
+    )
+    qpdf = pd.DataFrame({"id": [0, 1], "lon": [5.0, 6.0], "lat": [5.0, 6.0]})
+    qs = spark.createDataFrame(qpdf).unionByName(
+        spark.createDataFrame([(800, None, None)], "id long, lon double, lat double")
+    )
+    exp = _numpy_knn(qpdf, epdf, 3)
+    brute = KNN.knn_bruteforce(qs, ents, k=3, q_key="id", e_key="qid").toPandas()
+    kring = KNN.knn_kring(
+        qs, ents, k=3, q_key="id", e_key="qid", max_inline_entities=0
+    ).toPandas()
+    for got in (brute, kring):
+        assert set(got["id"]) == {0, 1}, "null-coordinate query leaked"
+        assert not got["qid"].isin([900, 901]).any(), "null-coordinate entity leaked"
+        for qid, grp in got.groupby("id"):
+            assert grp.sort_values("rank")["qid"].tolist() == exp[int(qid)]
