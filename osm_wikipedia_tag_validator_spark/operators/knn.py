@@ -405,11 +405,11 @@ def knn_kring(
     # ~0.4 s on the 15k-entity bench query, ~30%). At the scale the
     # salt exists for (millions of entities) the pre-pass amortizes.
     if salt_hot_cells and n_ent >= 8 * hot_cell_min:
-        # histogram pre-pass over the cached entity side: one shuffle
-        # reduced to ~n_cells rows; the driver pull is bounded by
-        # max_hot_cells ids (longs), never entity data
-        # cache the ~n_cells-row histogram so its groupBy shuffle runs
-        # once — the mean job fills the cache, the top-cells job reads it
+        # histogram pre-pass over the cached entity side: one groupBy
+        # shuffle reduced to ~n_cells rows, cached so the mean job fills
+        # it and the top-cells job reads it (one shuffle, two consumers);
+        # the driver pull is bounded by max_hot_cells ids (longs), never
+        # entity data
         hist = ent.groupBy("_e_cell").agg(F.count(F.lit(1)).alias("_c")).cache()
         try:
             mean_c = hist.agg(F.avg("_c").alias("m")).first()["m"] or 0.0

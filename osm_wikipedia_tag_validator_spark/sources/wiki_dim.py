@@ -218,7 +218,11 @@ def wikidata_dump_to_dim(
     Scale note: the parse is one pass of text → from_json; the dim
     contract's pre-filter rule applies unchanged (semi-join a full dump
     to the referenced qids BEFORE handing the result to the validator,
-    which broadcasts four projections of it).
+    which broadcasts four projections of it). With `redirects_path` the
+    parsed projection is persisted (MEMORY_AND_DISK) so its two
+    consumers share one parse; the cache lives until session end or LRU
+    eviction — callers building many dims in one session should write
+    the result out and let the block manager evict.
     """
     line = F.regexp_replace(F.trim(F.col("value")), ",$", "")
     doc = F.from_json(line, WIKIDATA_DUMP_SCHEMA)
