@@ -911,7 +911,7 @@ all attempts: contamination on a shared box is strictly ADDITIVE — a
 co-tenant can only make a leg slower — so every observed wall is a
 valid upper bound on the engine's true cost at that parallelism and
 the minimum is the tightest one, the same one-sided-noise argument
-the per-query timings use (min-of-3, methodology note below). A
+the per-query timings use (min-stabilized legs, notes below). A
 minimum is monotone in the sample set, so the stopping rule cannot
 bias it: sampling continues until neither width's minimum improved
 >2% in the last 2 attempts (≥3 attempts, cap via
@@ -955,6 +955,14 @@ a co-tenant saturates bandwidth the 32-wide leg starves while the
 8-wide leg barely notices.
 These probe columns are context for reading raw swings on a shared
 host; the criterion itself is judged on RAW efficiency only.
+
+Methodology note (2026-08-20): per-query and composite legs are
+min-STABILIZED — 3 always, continuing while the latest leg improved
+the running minimum by >2% (cap 6 per query / reps+3 for composites),
+the scaling campaign's frozen stopping rule applied to the query
+timings. A minimum is monotone in the sample set, so the rule cannot
+bias it; extra legs fire only in contaminated windows, exactly when
+they tighten the recorded upper bound.
 
 Methodology note (2026-08-17): headline per-query timings moved from
 min-of-2 to min-of-3 with every leg recorded in `query_legs`
