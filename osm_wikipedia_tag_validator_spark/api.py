@@ -68,11 +68,12 @@ class Engine:
     def region_rollup(self, validated, regions, error_catalog) -> DataFrame:
         return _pipe.region_rollup(validated, regions, error_catalog)
 
-    def materialize(self, outputs: dict[str, DataFrame]) -> dict[str, int]:
-        """Count independent sink DataFrames with concurrently submitted
-        jobs (one driver thread per sink); see
+    def materialize(self, outputs: dict[str, DataFrame], action=None) -> dict:
+        """Materialize independent sink DataFrames with concurrently
+        submitted jobs (one driver thread per sink). `action(name, df)`
+        defaults to counting; pass a writer to land real sinks — see
         plans/pipeline.py::materialize_concurrently."""
-        return _pipe.materialize_concurrently(outputs)
+        return _pipe.materialize_concurrently(outputs, action)
 
     def sync_tasks(self, current_reports, existing_tasks, **kw):
         from .operators import reports as _rep

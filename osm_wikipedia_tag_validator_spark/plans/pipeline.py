@@ -149,9 +149,14 @@ def image_tile_assignments(
     )
 
 
-def materialize_concurrently(outputs: dict[str, DataFrame]) -> dict[str, int]:
-    """Count every output DataFrame with one Spark job per output,
-    submitted CONCURRENTLY from driver threads.
+def materialize_concurrently(
+    outputs: dict[str, DataFrame], action=None
+) -> dict[str, object]:
+    """Run one Spark action per output DataFrame, submitted
+    CONCURRENTLY from driver threads. `action(name, df)` defaults to
+    counting — pass e.g. ``lambda name, df:
+    df.write.parquet(f"{out}/{name}")`` to materialize real sinks; the
+    returned dict maps each name to its action's return value.
 
     The reference's main loop runs its sinks strictly one after another
     (`script.py:93-162`: reports, then index, then tasks). On a cluster
@@ -168,8 +173,12 @@ def materialize_concurrently(outputs: dict[str, DataFrame]) -> dict[str, int]:
     concurrent 4.78 s min-of-4, identical row counts."""
     if not outputs:
         return {}
+    if action is None:
+        action = lambda name, df: df.count()  # noqa: E731
     with ThreadPoolExecutor(max_workers=len(outputs)) as ex:
-        futures = {name: ex.submit(df.count) for name, df in outputs.items()}
+        futures = {
+            name: ex.submit(action, name, df) for name, df in outputs.items()
+        }
         return {name: fut.result() for name, fut in futures.items()}
 
 

@@ -288,3 +288,23 @@ def test_materialize_concurrently_matches_serial(spark):
     assert concurrent == serial
     assert serial["reports"] > 0 and serial["tiles"] > 0
     assert P.materialize_concurrently({}) == {}
+
+
+def test_materialize_concurrently_with_writer_action(spark, tmp_path):
+    """The action hook materializes real sinks: a parquet writer per
+    output, run concurrently, lands every row of every sink."""
+    inputs = P.build_inputs(spark, 300)
+    validated = P.validated_elements(inputs).cache()
+    outs = {
+        "reports": P.error_reports(validated, inputs["regions"]),
+        "rollup": P.region_rollup(validated, inputs["regions"], inputs["error_catalog"]),
+    }
+    expected = {k: df.count() for k, df in outs.items()}
+    P.materialize_concurrently(
+        outs, action=lambda name, df: df.write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+    )
+    validated.unpersist()
+    for name, n in expected.items():
+        assert spark.read.parquet(str(tmp_path / name)).count() == n
