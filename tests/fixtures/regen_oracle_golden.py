@@ -24,7 +24,7 @@ import pandas as pd
 from osm_wikipedia_tag_validator_spark.plans import oracle_queries as OQ
 from osm_wikipedia_tag_validator_spark.session import get_spark
 
-SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+SF_DIRS = OQ.GOLDEN_SF_DIRS
 
 
 def _tag_value(tag_sql: str, sf_dir: str) -> int:

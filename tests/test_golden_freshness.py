@@ -16,7 +16,7 @@ import pytest
 from osm_wikipedia_tag_validator_spark.plans import oracle_queries as OQ
 
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "oracle_golden")
-SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+SF_DIRS = OQ.GOLDEN_SF_DIRS
 
 
 def _canon(pdf: pd.DataFrame) -> list[str]:

@@ -10,7 +10,9 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+_SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+# accepts a directory OR a bare scale factor ("0.1" → /root/testdata/sf0.1)
+SF_DIR = _SF if "/" in _SF else f"/root/testdata/sf{_SF}"
 
 _ORACLES = entry_mod.oracle_sql()
 _QUERIES = entry_mod.queries()
