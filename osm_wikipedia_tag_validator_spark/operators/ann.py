@@ -31,6 +31,18 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _drop_null_vectors(queries, corpus, q_vec, c_vec):
+    """Family-uniform null-vector semantics (one place, four callers):
+    a null embedding has no cosine against anything, so such rows can
+    never appear in the output — drop them at the boundary. Without
+    this, `cosine_topk_native` emitted null-cosine rank rows while the
+    numpy paths crashed on np.vstack."""
+    return (
+        queries.filter(F.col(q_vec).isNotNull()),
+        corpus.filter(F.col(c_vec).isNotNull()),
+    )
+
+
 def cosine_topk_native(
     queries: DataFrame,
     corpus: DataFrame,
@@ -44,11 +56,9 @@ def cosine_topk_native(
     """Exact top-k neighbors, broadcast nested loop, JVM expressions.
 
     Null-vector rows are dropped on both sides (uniform across the
-    whole family — fast/blocked/ivf do the same): a null embedding has
-    no cosine, and leaving it in would emit null-cosine rank rows
-    here while the numpy twins crash on np.vstack."""
-    queries = queries.filter(F.col(q_vec).isNotNull())
-    corpus = corpus.filter(F.col(c_vec).isNotNull())
+    whole family — fast/blocked/ivf route through the same
+    `_drop_null_vectors` boundary)."""
+    queries, corpus = _drop_null_vectors(queries, corpus, q_vec, c_vec)
     q = queries.select(F.col(q_id).alias("qid"), _as_double(q_vec).alias("qv"))
     c = F.broadcast(corpus.select(F.col(c_id).alias("cid"), _as_double(c_vec).alias("cv")))
     dot = F.aggregate(
@@ -97,8 +107,9 @@ def cosine_topk_fast(
     BEFORE any driver pull. The inline budget is BYTES, not rows — the
     driver cost of a corpus matrix is rows × dim × 8 B, so a row cap
     alone is dimension-blind (2M rows of 128-d float64 ≈ 2 GB, nothing
-    like knn's ~50 MB at the same row count). One first() probes the
-    vector width, the row budget becomes
+    like knn's ~50 MB at the same row count). A bounded probe (max
+    size over the first 64 rows) reads the vector width, the row
+    budget becomes
     min(max_inline_corpus, max_inline_bytes // (dim × 8)), and a
     limit(budget+1).count() decides the path — the count short-circuits
     after budget+1 rows and pulls no data to the driver. This costs one
@@ -110,24 +121,23 @@ def cosine_topk_fast(
     On overflow: `cosine_topk_blocked` — block-partitioned exact top-k
     with NO driver collect and NO full-corpus broadcast — same output,
     same tie-breaks."""
-    # a NULL vector has no cosine against anything: such rows can never
-    # appear in the output, so drop them at the boundary (they would
-    # otherwise poison np.vstack in whichever path runs)
-    corpus = corpus.filter(F.col(c_vec).isNotNull())
-    queries = queries.filter(F.col(q_vec).isNotNull())
-    # width probe: the first NON-NULL row's size — a bare first()
-    # silently read dim=NULL→1 when the first row's embedding was NULL,
-    # which disabled the byte budget entirely. first() short-circuits
-    # partition by partition, so this costs one row's scan (an
-    # agg(max) over a sample measured ~2× the whole query's job
-    # overhead at bench scale). Vector width is uniform by contract;
-    # a ragged corpus fails loudly at np.vstack in either path.
-    probe = (
-        corpus.select(F.size(F.col(c_vec)).alias("d"))
-        .filter(F.col("d").isNotNull())
-        .first()
-    )
-    dim = int(probe["d"]) if probe is not None else 1
+    queries, corpus = _drop_null_vectors(queries, corpus, q_vec, c_vec)
+    out_schema = f"{q_id} long, neighbor_id long, cosine double, rank int"
+    # width probe: MAX size over the first 64 (non-null-filtered) rows.
+    # One take()-style job on one partition — same cost class as a bare
+    # first(), which misread dim on a leading NULL row; the 64-row max
+    # additionally survives a leading degenerate/narrow row. Vector
+    # width is uniform by contract beyond that window: a corpus whose
+    # wide rows all hide past the probe can under-budget the inline
+    # collect, and the np.vstack backstop only fires AFTER that collect
+    # — the probe window is the honest guard, the vstack the loud one.
+    sizes = corpus.select(F.size(F.col(c_vec)).alias("d")).limit(64).collect()
+    if not sizes:
+        # corpus empty after the null drop: no row can rank against
+        # anything — return the empty result the native/blocked twins
+        # produce instead of feeding np.vstack an empty array
+        return queries.sparkSession.createDataFrame([], out_schema)
+    dim = max(int(r["d"]) for r in sizes)
     row_budget = min(max_inline_corpus, max(1, max_inline_bytes // (dim * 8)))
     if corpus.limit(row_budget + 1).count() > row_budget:
         return cosine_topk_blocked(
@@ -145,8 +155,6 @@ def cosine_topk_fast(
     bc = tracked_broadcast(
         queries.sparkSession.sparkContext, (ids, Mn), "ann_corpus_matrix"
     )
-
-    out_schema = f"{q_id} long, neighbor_id long, cosine double, rank int"
 
     def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, Mn = bc.value
@@ -214,9 +222,7 @@ def cosine_topk_blocked(
     Same rounding (6 dp before ranking) and tie-breaks (cosine desc,
     cid asc) as `cosine_topk_fast`/`cosine_topk_native` — byte-identical
     output."""
-    # family-uniform null-vector semantics (see cosine_topk_native)
-    queries = queries.filter(F.col(q_vec).isNotNull())
-    corpus = corpus.filter(F.col(c_vec).isNotNull())
+    queries, corpus = _drop_null_vectors(queries, corpus, q_vec, c_vec)
     n_c = corpus.count()
     n_q = queries.count()
     n_cblk = max(1, -(-n_c // block_rows))
@@ -318,6 +324,10 @@ def kmeans_centroids(
     sqrt(n) centroids, centroids ≤ ~4k) the budget holds."""
     base = corpus.orderBy(order_col) if order_col else corpus
     pdf = base.select(vec_col).limit(sample).toPandas()
+    if len(pdf) == 0:
+        # empty corpus: no centroids (np.vstack needs ≥1 array);
+        # callers check len() == 0 and short-circuit
+        return np.zeros((0, 0))
     X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
@@ -346,11 +356,16 @@ def ivf_topk(
     probe `nprobe` lists per query via an equi-join on list id — the
     cross join never materializes. Approximate (recall < 1 when the
     true neighbor lives in an unprobed list)."""
-    # family-uniform null-vector semantics (see cosine_topk_native)
-    queries = queries.filter(F.col(q_vec).isNotNull())
-    corpus = corpus.filter(F.col(c_vec).isNotNull())
+    queries, corpus = _drop_null_vectors(queries, corpus, q_vec, c_vec)
     spark = queries.sparkSession
     C = kmeans_centroids(corpus, n_centroids, c_vec, order_col=c_id)
+    if len(C) == 0:
+        # corpus empty after the null drop — no lists exist; return the
+        # empty result the exact twins produce (kmeans' sample pull is
+        # the existence probe, no extra job)
+        return spark.createDataFrame(
+            [], f"{q_id} long, neighbor_id long, cosine double, rank int"
+        )
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     def assign_lists(nprobe_n: int, id_name: str, vec_name: str):

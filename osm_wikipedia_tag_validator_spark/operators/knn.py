@@ -119,6 +119,18 @@ def knn_bruteforce(
     e_lons = ent_pdf["lon"].to_numpy(dtype=np.float64)
     e_lats = ent_pdf["lat"].to_numpy(dtype=np.float64)
     kk = min(k, len(e_keys))
+    key_field = [f for f in queries.select(q_key).schema.fields][0]
+    out_schema = (
+        f"{q_key} {key_field.dataType.simpleString()}, "
+        f"{e_key} {entities.select(e_key).schema.fields[0].dataType.simpleString()}, "
+        "dist_km double, rank int"
+    )
+    if kk == 0:
+        # entity side empty (possibly only after the null-coordinate
+        # drop): no neighbor exists for any query. Return the empty
+        # result `_knn_blocked` produces for the same input instead of
+        # handing np.argpartition a kth of -1 in every task.
+        return queries.sparkSession.createDataFrame([], out_schema)
     # SparkContext.broadcast ships the matrix once per executor; a plain
     # closure capture re-serializes it into every task — the difference
     # is |matrix| × tasks of network at 1000 executors
@@ -126,13 +138,6 @@ def knn_bruteforce(
         queries.sparkSession.sparkContext,
         (e_keys, e_lons, e_lats),
         "knn_entity_matrix",
-    )
-
-    key_field = [f for f in queries.select(q_key).schema.fields][0]
-    out_schema = (
-        f"{q_key} {key_field.dataType.simpleString()}, "
-        f"{e_key} {entities.select(e_key).schema.fields[0].dataType.simpleString()}, "
-        "dist_km double, rank int"
     )
 
     def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

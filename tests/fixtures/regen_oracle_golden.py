@@ -8,9 +8,11 @@ Each pinned query is deterministic (seeded hashes / pure functions of
 the input rows); its exactness or recall is proven separately in pytest
 against brute-force oracles, and this pin freezes that verified output
 as a regression oracle the driver can diff. SF-dependent queries are
-materialized at every SF the harness uses (sf0.001 for local pytest,
-sf0.01 for the driver gate) and strata are discriminated by a `_tag`
-column the oracle SQL recomputes from the live views.
+materialized at every SF the harness uses — the GOLDEN_SF_DIRS list in
+oracle_queries.py (sf0.001 for local pytest, sf0.01 for the driver
+gate, sf0.1 for the bench-scale parity run) — and strata are
+discriminated by a `_tag` column the oracle SQL recomputes from the
+live views.
 """
 
 import os

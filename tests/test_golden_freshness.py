@@ -44,6 +44,12 @@ def test_golden_fixture_is_fresh(spark, name):
     q = OQ.queries()[name]
     strata = []
     for sf_dir in SF_DIRS if tag_sql else SF_DIRS[:1]:
+        if not os.path.isdir(sf_dir):
+            # the committed fixture carries EVERY pinned stratum, so a
+            # missing SF dir can't be checked piecemeal — skip with the
+            # reason instead of hard-failing on machines without the
+            # full testdata tree
+            pytest.skip(f"pinned SF dir {sf_dir} absent on this machine")
         pdf = q(spark, sf_dir).toPandas()[cols]
         if tag_sql:
             pdf = pdf.assign(_tag=_tag_value(tag_sql, sf_dir))

@@ -349,8 +349,19 @@ def test_knn_family_uniform_null_coordinate_semantics(spark):
     """Null-lon/lat rows are dropped by every kNN strategy: the k-ring
     path's Catalyst cell expression drops them structurally (a null
     cell never joins), so the brute-force matrix path must agree
-    instead of ranking NaN distances nondeterministically."""
-    ents, epdf = _dense_entities(spark, n=120)
+    instead of ranking NaN distances nondeterministically. The entity
+    cloud is dense enough that the k-ring leg exercises the GENUINE
+    escalation loop: with max_inline_entities=0 the cost rule is off,
+    and at n=500/k=3 the operator's resolution arithmetic (res =
+    ½·log2(n/4k) = 2) makes the sparse-grid delegation condition
+    (2·ring+1 ≥ 2^res) false — asserted below so a datagen change
+    can't silently shrink this back onto the brute-force path (at the
+    previous n=120, res=1 delegated and the k-ring claim went
+    untested)."""
+    n_ent = 500
+    res = int(0.5 * np.log2(n_ent / (4 * 3)))
+    assert (2 * 1 + 1) < (1 << res), "entity cloud too sparse: kring would delegate"
+    ents, epdf = _dense_entities(spark, n=n_ent)
     ents = ents.unionByName(
         spark.createDataFrame(
             [(900, None, 10.0), (901, 10.0, None)], "qid long, lon double, lat double"
@@ -370,3 +381,44 @@ def test_knn_family_uniform_null_coordinate_semantics(spark):
         assert not got["qid"].isin([900, 901]).any(), "null-coordinate entity leaked"
         for qid, grp in got.groupby("id"):
             assert grp.sort_values("rank")["qid"].tolist() == exp[int(qid)]
+
+
+def test_ann_family_empty_after_null_drop(spark):
+    """Regression (round-5 review): a corpus that is EMPTY once null
+    vectors are dropped must yield an empty result from every path —
+    fast previously fed np.vstack an empty array in _collect_matrix and
+    ivf crashed the same way inside kmeans_centroids, while
+    native/blocked already returned zero rows."""
+    corpus = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    for fn, kw in [
+        (ANN.cosine_topk_native, {}),
+        (ANN.cosine_topk_fast, {}),
+        (ANN.cosine_topk_blocked, {"block_rows": 8}),
+        (ANN.ivf_topk, {"n_centroids": 4, "nprobe": 2}),
+    ]:
+        out = fn(q, corpus, k=3, **kw)
+        assert out.count() == 0, f"{fn.__name__} emitted rows from an empty corpus"
+        assert [f.name for f in out.schema.fields] == [
+            "vec_id", "neighbor_id", "cosine", "rank",
+        ], f"{fn.__name__} empty-result schema diverged"
+
+
+def test_knn_bruteforce_empty_entities_after_null_drop(spark):
+    """Regression (round-5 review): an entity side that empties under
+    the null-coordinate drop made the inline path's np.argpartition
+    crash with kth=-1 in every task; it must return the empty result
+    the blocked twin produces."""
+    qs = spark.createDataFrame(
+        [(0, 5.0, 5.0)], "id long, lon double, lat double"
+    )
+    ents = spark.createDataFrame(
+        [(900, None, 10.0), (901, 10.0, None)], "qid long, lon double, lat double"
+    )
+    out = KNN.knn_bruteforce(qs, ents, k=3, q_key="id", e_key="qid")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "qid", "dist_km", "rank"]

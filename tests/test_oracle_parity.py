@@ -11,8 +11,14 @@ import pytest
 import __spark_entry__ as entry_mod
 
 _SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
-# accepts a directory OR a bare scale factor ("0.1" → /root/testdata/sf0.1)
-SF_DIR = _SF if "/" in _SF else f"/root/testdata/sf{_SF}"
+# accepts a directory OR a bare scale factor — "0.1" and the natural
+# "sf0.1" shorthand both resolve to /root/testdata/sf0.1 (a bare value
+# used to build /root/testdata/sfsf0.1 and fail confusingly)
+SF_DIR = _SF if "/" in _SF else f"/root/testdata/sf{_SF.removeprefix('sf')}"
+assert os.path.isdir(SF_DIR), (
+    f"SPARK_GRAFT_TEST_SF resolved to {SF_DIR!r}, which does not exist — "
+    "pass a testdata directory, a scale factor like 0.01, or sf0.01"
+)
 
 _ORACLES = entry_mod.oracle_sql()
 _QUERIES = entry_mod.queries()
