@@ -170,14 +170,31 @@ def materialize_concurrently(
     not-yet-materialized `.cache()` upstream is still computed exactly
     once even when several sink jobs race into it. Measured on the
     flagship (60k elements / 12k images, local[32]): serial 5.54 s →
-    concurrent 4.78 s min-of-4, identical row counts."""
+    concurrent 4.78 s min-of-4, identical row counts.
+
+    Each sink runs under `inheritable_thread_target` so the caller's
+    JVM thread-locals — job group (cancellation scope), fair-scheduler
+    pool, job descriptions — propagate into the pool threads; with
+    PySpark's default pinned-thread mode a bare ThreadPoolExecutor
+    thread starts with NO local properties and sc.cancelJobGroup()
+    would silently miss exactly the jobs this function parallelizes.
+    Failure semantics: the first failing sink re-raises from its
+    fut.result(); sinks already running are NOT cancelled (a Spark
+    action can't be interrupted from here) and run to completion."""
     if not outputs:
         return {}
     if action is None:
         action = lambda name, df: df.count()  # noqa: E731
+    from pyspark import inheritable_thread_target
+
+    def _bound(name, df):
+        # wrap in the CALLING thread: the wrapper captures this
+        # thread's properties at creation time
+        return inheritable_thread_target(lambda: action(name, df))
+
     with ThreadPoolExecutor(max_workers=len(outputs)) as ex:
         futures = {
-            name: ex.submit(action, name, df) for name, df in outputs.items()
+            name: ex.submit(_bound(name, df)) for name, df in outputs.items()
         }
         return {name: fut.result() for name, fut in futures.items()}
 

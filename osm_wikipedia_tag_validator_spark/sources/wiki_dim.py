@@ -188,6 +188,7 @@ def wikidata_dump_to_dim(
     preferred_langs: tuple[str, ...] = ("en",),
     instance_of_map: dict[str, str] | None = None,
     redirects_path: str | None = None,
+    cache_parse: bool = True,
 ) -> DataFrame:
     """Parse a wikidata entity dump into the validator's dim — the
     real-data seam: `latest-all.json`-shaped input in, `validate()`-ready
@@ -219,10 +220,17 @@ def wikidata_dump_to_dim(
     contract's pre-filter rule applies unchanged (semi-join a full dump
     to the referenced qids BEFORE handing the result to the validator,
     which broadcasts four projections of it). With `redirects_path` the
-    parsed projection is persisted (MEMORY_AND_DISK) so its two
-    consumers share one parse; the cache lives until session end or LRU
-    eviction — callers building many dims in one session should write
-    the result out and let the block manager evict.
+    parsed projection is persisted (MEMORY_AND_DISK) by default so its
+    two consumers share one parse. Cache lifecycle, honestly: the
+    returned DataFrame is lazy, so this function has no point at which
+    it could unpersist — the blocks live until the caller unpersists or
+    the session ends, and while the MEMORY tier yields to LRU pressure,
+    DISK-tier blocks do NOT (eviction only trades memory blocks to
+    disk). A caller building MANY dims in one session should either
+    write each result out and drop the cache
+    (``spark.catalog.clearCache()`` between builds), or pass
+    ``cache_parse=False`` to trade one extra dump parse for zero
+    retained blocks.
     """
     line = F.regexp_replace(F.trim(F.col("value")), ",$", "")
     doc = F.from_json(line, WIKIDATA_DUMP_SCHEMA)
@@ -296,10 +304,15 @@ def wikidata_dump_to_dim(
         # that doubles the dominant cost of the build. MEMORY_AND_DISK:
         # the parsed projection is far smaller than the raw dump but
         # need not fit in memory. Spark's per-partition cache locks
-        # keep a racing fill compute-once.
+        # keep a racing fill compute-once. Retention trade-off (see
+        # docstring): cache_parse=False skips the persist entirely.
         from pyspark import StorageLevel
 
-        base = parsed.persist(StorageLevel.MEMORY_AND_DISK)
+        base = (
+            parsed.persist(StorageLevel.MEMORY_AND_DISK)
+            if cache_parse
+            else parsed
+        )
         parsed = base.join(F.broadcast(red), "qid", "left")
         # redirected entities are NOT published as dump documents — the
         # sidecar is their only record, so redirect qids absent from the

@@ -180,8 +180,17 @@ def _total_order(batch_df: DataFrame, order_cols: list[str] | None) -> list:
     # `cols` may hold Column objects (the to_json wrappers), so track
     # already-covered fields by NAME in a separate set — `name in cols`
     # against a Column would evaluate Column == str and crash on bool()
-    seen = set(order_cols) if order_cols else set(batch_df.columns[:1])
-    cols: list = list(order_cols) if order_cols else batch_df.columns[:1]
+    by_name = {f.name: f.dataType for f in batch_df.schema.fields}
+    seed = list(order_cols) if order_cols else batch_df.columns[:1]
+    seen = set(seed)
+    # the seed columns (caller-passed order_cols, or the first schema
+    # column as the default anchor) need the same map-to-to_json route
+    # as the extension columns — a map-bearing column THERE otherwise
+    # reaches orderBy raw and fails on every trigger
+    cols: list = [
+        F.to_json(F.col(n)) if n in by_name and _has_map(by_name[n]) else n
+        for n in seed
+    ]
     for f in batch_df.schema.fields:
         if f.name in seen:
             continue

@@ -308,3 +308,27 @@ def test_materialize_concurrently_with_writer_action(spark, tmp_path):
     validated.unpersist()
     for name, n in expected.items():
         assert spark.read.parquet(str(tmp_path / name)).count() == n
+
+
+def test_materialize_concurrently_inherits_job_group(spark):
+    """Round-5 review: pool threads must inherit the caller's JVM
+    thread-locals (job group, scheduler pool) — in pinned-thread mode a
+    bare ThreadPoolExecutor thread has NONE, so sc.cancelJobGroup()
+    would miss exactly the sink jobs this function parallelizes. The
+    action reads the job-group property from inside the pool thread."""
+    sc = spark.sparkContext
+    sc.setJobGroup("sink-group", "materialize test", interruptOnCancel=False)
+    try:
+        one = spark.range(5)
+        got = P.materialize_concurrently(
+            {"a": one, "b": one},
+            action=lambda name, df: (
+                df.count(),
+                df.sparkSession.sparkContext.getLocalProperty(
+                    "spark.jobGroup.id"
+                ),
+            ),
+        )
+    finally:
+        sc.setJobGroup("", "")
+    assert got["a"] == (5, "sink-group") and got["b"] == (5, "sink-group")

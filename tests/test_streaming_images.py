@@ -309,3 +309,35 @@ def test_rate_limited_split_nested_map_column(spark):
     tm, rm = multiset(take.toPandas()), multiset(rest.toPandas())
     assert sum(tm.values()) == 3
     assert tm + rm == whole
+
+
+def test_rate_limited_split_map_column_first_and_as_order_col(spark):
+    """Regression (round-5 review, second pass): the seed columns —
+    the first-schema-column default anchor and caller-passed
+    order_cols — bypassed the map→to_json route, so a map-bearing
+    column in EITHER position reached orderBy raw and crashed every
+    trigger. Both seeds must split exactly as multisets."""
+    from collections import Counter
+
+    rows = [({"a": str(i % 3)}, i % 2, f"p{i}") for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "tags map<string,string>, k int, payload string"
+    ).repartition(4)
+
+    def multiset(pdf):
+        return Counter(
+            (tuple(sorted(r.tags.items())), int(r.k), r.payload)
+            for r in pdf.itertuples()
+        )
+
+    whole = multiset(df.toPandas())
+    # default anchor = the map column (first in schema)
+    take, rest = SE.rate_limited_split(df, 4)
+    tm, rm = multiset(take.toPandas()), multiset(rest.toPandas())
+    assert sum(tm.values()) == 4
+    assert tm + rm == whole
+    # caller explicitly orders BY the map column
+    take, rest = SE.rate_limited_split(df, 6, order_cols=["tags"])
+    tm, rm = multiset(take.toPandas()), multiset(rest.toPandas())
+    assert sum(tm.values()) == 6
+    assert tm + rm == whole

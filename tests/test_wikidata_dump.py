@@ -106,3 +106,20 @@ def test_validator_parity_dump_vs_handbuilt(spark):
     assert "wikidata tag links to 404" in errs
     assert "wikidata tag links to a redirect" in errs
     assert "link to a disambiguation page" in errs
+
+
+def test_dump_parse_uncached_matches_cached(spark):
+    """cache_parse=False (round-5 review: the persist has no unpersist
+    point and DISK-tier blocks outlive LRU pressure, so callers
+    building many dims need a zero-retention mode) must produce the
+    identical dim — it only trades a second dump parse for it."""
+    cached = {r["qid"]: r.asDict() for r in _parsed_dim(spark).collect()}
+    uncached_df = WD.wikidata_dump_to_dim(
+        spark, DUMP,
+        preferred_langs=("en",),
+        instance_of_map=INSTANCE_MAP,
+        redirects_path=REDIRECTS,
+        cache_parse=False,
+    )
+    uncached = {r["qid"]: r.asDict() for r in uncached_df.collect()}
+    assert uncached == cached
