@@ -123,23 +123,33 @@ def cosine_topk_fast(
     same tie-breaks."""
     queries, corpus = _drop_null_vectors(queries, corpus, q_vec, c_vec)
     out_schema = f"{q_id} long, neighbor_id long, cosine double, rank int"
-    # width probe: MAX size over the first 64 (non-null-filtered) rows.
-    # One take()-style job on one partition — same cost class as a bare
-    # first(), which misread dim on a leading NULL row; the 64-row max
-    # additionally survives a leading degenerate/narrow row. Vector
-    # width is uniform by contract beyond that window: a corpus whose
-    # wide rows all hide past the probe can under-budget the inline
-    # collect, and the np.vstack backstop only fires AFTER that collect
-    # — the probe window is the honest guard, the vstack the loud one.
-    sizes = corpus.select(F.size(F.col(c_vec)).alias("d")).limit(64).collect()
-    if not sizes:
+    # ONE guard job (round-5 verdict: the separate 64-row width-probe
+    # collect + overflow count cost two driver jobs per call — 0.32 s →
+    # 0.42 s on the bench query). The size projection is pushed below
+    # the limit, so only ints flow: count and max width come out of the
+    # same bounded scan, which short-circuits after max_inline_corpus+1
+    # rows and pulls one row to the driver. The width max now covers
+    # the WHOLE probed window (not just 64 rows), so a corpus whose
+    # wide rows hide past row 64 can no longer under-budget the inline
+    # collect. Overflow logic is unchanged: n is capped at
+    # max_inline_corpus+1 ≥ row_budget+1, so n > row_budget still
+    # fires exactly when the true count exceeds the byte-derived budget.
+    probe = (
+        corpus.select(F.size(F.col(c_vec)).alias("d"))
+        .limit(max_inline_corpus + 1)
+        .agg(F.count(F.lit(1)).alias("n"), F.max("d").alias("dmax"))
+        .first()
+    )
+    if not probe["n"]:
         # corpus empty after the null drop: no row can rank against
         # anything — return the empty result the native/blocked twins
         # produce instead of feeding np.vstack an empty array
         return queries.sparkSession.createDataFrame([], out_schema)
-    dim = max(int(r["d"]) for r in sizes)
+    # clamp: an all-empty-array window reads dmax=0 — budget on dim 1
+    # rather than dividing by zero (round-5 advice)
+    dim = max(1, int(probe["dmax"]))
     row_budget = min(max_inline_corpus, max(1, max_inline_bytes // (dim * 8)))
-    if corpus.limit(row_budget + 1).count() > row_budget:
+    if probe["n"] > row_budget:
         return cosine_topk_blocked(
             queries, corpus, k,
             q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec,

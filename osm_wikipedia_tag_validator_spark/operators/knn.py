@@ -31,6 +31,89 @@ from ..session import tracked_broadcast
 
 EARTH_R_KM = 6371.0088
 
+#: candidate pad for the chord-proxy selection in `_topk_block`: the
+#: GEMM scores are a strictly monotone proxy for haversine distance, so
+#: top-(k+pad) by dot provably contains top-k by distance unless >pad
+#: entities sit within float64 rounding of the kth score — the exact
+#: re-rank then restores the brute-force (dist, key) order bit-for-bit.
+_SEL_PAD = 8
+
+#: per-chunk score-matrix budget (cells): keeps each GEMM + argpartition
+#: inside cache-friendly territory and bounds task memory at
+#: budget × 8 B ≈ 32 MB regardless of entity-side width.
+_CELLS_BUDGET = 4 << 20
+
+
+def _unit_xyz(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """(n,) lon/lat degrees → (n, 3) unit vectors on the sphere."""
+    lo = np.radians(np.asarray(lon, dtype=np.float64))
+    la = np.radians(np.asarray(lat, dtype=np.float64))
+    cl = np.cos(la)
+    return np.stack([cl * np.cos(lo), cl * np.sin(lo), np.sin(la)], axis=1)
+
+
+def _topk_block(
+    qkeys: np.ndarray,
+    qlon: np.ndarray,
+    qlat: np.ndarray,
+    e_keys: np.ndarray,
+    e_lons: np.ndarray,
+    e_lats: np.ndarray,
+    k: int,
+    ET: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Exact top-k of every query against the whole entity block.
+
+    Replaces the full |chunk|×|E| haversine matrix (4 transcendental
+    passes over every cell — measured 19 s/task at sf1.0) with one
+    GEMM: unit-vector dot products are a strictly monotone proxy for
+    great-circle distance (dot = 1 − chord²/2, chord monotone in
+    angle), so candidate selection needs no trigonometry at all. The
+    exact haversine is then computed ONLY for the k+_SEL_PAD selected
+    candidates per query — same `haversine_km` on the same float64
+    inputs as brute force, so the emitted distances and the
+    (dist, entity_key) tie-order are identical doubles.
+
+    Returns flat (q_key, e_key, dist_km, rank) arrays, kk rows per
+    query, rank 1..kk, kk = min(k, |E|).
+    """
+    from ..functions.geometry import haversine_km
+
+    ne = len(e_keys)
+    kk = min(k, ne)
+    kp = min(k + _SEL_PAD, ne)
+    nq = len(qkeys)
+    if nq == 0 or kk == 0:
+        empty = np.empty(0)
+        return empty, empty, empty, empty
+    if ET is None:
+        ET = np.ascontiguousarray(_unit_xyz(e_lons, e_lats).T)
+    Q = _unit_xyz(qlon, qlat)
+    cand = np.empty((nq, kp), dtype=np.int64)
+    chunk = max(64, _CELLS_BUDGET // max(1, ne))
+    for lo in range(0, nq, chunk):
+        hi = min(lo + chunk, nq)
+        S = Q[lo:hi] @ ET  # higher dot = nearer
+        if kp < ne:
+            cand[lo:hi] = np.argpartition(-S, kp - 1, axis=1)[:, :kp]
+        else:
+            cand[lo:hi] = np.arange(ne)[None, :]
+    # exact re-rank on the candidate pad, fully vectorized: stable sort
+    # by entity key then stable sort by distance == lexsort (dist, key)
+    qlon = np.asarray(qlon, dtype=np.float64)
+    qlat = np.asarray(qlat, dtype=np.float64)
+    Dc = haversine_km(qlon[:, None], qlat[:, None], e_lons[cand], e_lats[cand])
+    keysc = e_keys[cand]
+    o1 = np.argsort(keysc, axis=1, kind="stable")
+    o2 = np.argsort(np.take_along_axis(Dc, o1, axis=1), axis=1, kind="stable")
+    order = np.take_along_axis(o1, o2, axis=1)[:, :kk]
+    sel = np.take_along_axis(cand, order, axis=1)
+    out_q = np.repeat(np.asarray(qkeys), kk)
+    out_e = e_keys[sel].ravel()
+    out_d = np.take_along_axis(Dc, order, axis=1).ravel()
+    out_r = np.tile(np.arange(1, kk + 1), nq)
+    return out_q, out_e, out_d, out_r
+
 
 def haversine_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
     """Great-circle distance in km as a pure Catalyst expression."""
@@ -75,8 +158,6 @@ def knn_bruteforce(
     (key, lon, lat) — 2M rows ≈ 50 MB — unlike the ANN corpus, whose
     budget scales with vector width (see ``ann.py``).
     """
-    from ..functions.geometry import haversine_km
-
     # null-coordinate rows have no distance to anything: drop them on
     # both sides so all three strategies agree (the k-ring path's
     # Catalyst cell expression already drops them — a null cell never
@@ -90,14 +171,15 @@ def knn_bruteforce(
     )
     # a single-file source would run the whole top-k in one task; give
     # the map-side stage enough splits to use the cluster. Plan-side
-    # probe only (inputFiles walks the scan's file index — no job, no
-    # RDD materialization): a file-backed side with fewer files than
-    # cores is the case that needs fanning out; non-file sides
-    # (createDataFrame, shuffles upstream) already carry
-    # defaultParallelism-ish partitioning.
+    # probe only (physical planning, no job): the previous inputFiles()
+    # probe missed the case where the CacheManager substitutes an
+    # InMemoryRelation for the scan (inputFiles → [] and the whole
+    # top-k silently ran in ONE task — observed when another query in
+    # the session had cached a matching subplan); the partition count
+    # of the planned RDD covers file-backed, cached and shuffle-fed
+    # sides uniformly.
     par = queries.sparkSession.sparkContext.defaultParallelism
-    files = queries.inputFiles()
-    if files and len(files) < par:
+    if q.rdd.getNumPartitions() < par:
         q = q.repartition(par)
     # size check BEFORE collecting: an over-limit entity table must never
     # reach toPandas() — that driver materialization is exactly what the
@@ -133,37 +215,30 @@ def knn_bruteforce(
         return queries.sparkSession.createDataFrame([], out_schema)
     # SparkContext.broadcast ships the matrix once per executor; a plain
     # closure capture re-serializes it into every task — the difference
-    # is |matrix| × tasks of network at 1000 executors
+    # is |matrix| × tasks of network at 1000 executors. The transposed
+    # unit-vector matrix for the GEMM selection is built ONCE here and
+    # rides along (3 × |E| doubles — cheaper to ship than to rebuild
+    # per batch).
+    ET = np.ascontiguousarray(_unit_xyz(e_lons, e_lats).T)
     bc = tracked_broadcast(
         queries.sparkSession.sparkContext,
-        (e_keys, e_lons, e_lats),
+        (e_keys, e_lons, e_lats, ET),
         "knn_entity_matrix",
     )
 
     def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        e_keys, e_lons, e_lats = bc.value
+        e_keys, e_lons, e_lats, ET = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            qlon = pdf["_q_lon"].to_numpy(dtype=np.float64)
-            qlat = pdf["_q_lat"].to_numpy(dtype=np.float64)
-            # (batch, entities) distance matrix, vectorized
-            D = haversine_km(
-                qlon[:, None], qlat[:, None], e_lons[None, :], e_lats[None, :]
+            out_q, out_e, out_d, out_r = _topk_block(
+                pdf["_q_key"].to_numpy(),
+                pdf["_q_lon"].to_numpy(dtype=np.float64),
+                pdf["_q_lat"].to_numpy(dtype=np.float64),
+                e_keys, e_lons, e_lats, kk, ET=ET,
             )
-            part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
-            rows_q, rows_e, rows_d, rows_r = [], [], [], []
-            qkeys = pdf["_q_key"].to_numpy()
-            for r in range(len(pdf)):
-                cand = part[r]
-                order = np.lexsort((e_keys[cand], D[r, cand]))
-                sel = cand[order]
-                rows_q.extend([qkeys[r]] * kk)
-                rows_e.extend(e_keys[sel])
-                rows_d.extend(D[r, sel])
-                rows_r.extend(range(1, kk + 1))
             yield pd.DataFrame(
-                {q_key: rows_q, e_key: rows_e, "dist_km": rows_d, "rank": rows_r}
+                {q_key: out_q, e_key: out_e, "dist_km": out_d, "rank": out_r}
             )
 
     return q.mapInPandas(topk, out_schema)
@@ -195,8 +270,6 @@ def _knn_blocked(
     `q` arrives pre-projected by `knn_bruteforce` as
     (_q_key, _q_lon, _q_lat). Ties break by (dist, entity_key) asc —
     identical to the inline path and the SQL oracle."""
-    from ..functions.geometry import haversine_km
-
     n_e = entities.count()
     n_q = q.count()
     n_eblk = max(1, -(-n_e // block_rows))
@@ -224,38 +297,18 @@ def _knn_blocked(
         F.explode(F.sequence(F.lit(0).cast("int"), F.lit(n_qblk - 1).cast("int"))),
     )
 
-    dist_budget = 32 * 1024 * 1024  # float64 cells ≈ 256 MB
-
     def local_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
             return pd.DataFrame({"qk": [], "ek": [], "dist_km": []})
-        e_keys = right["_e_key"].to_numpy()
-        e_lons = right["_e_lon"].to_numpy(dtype=np.float64)
-        e_lats = right["_e_lat"].to_numpy(dtype=np.float64)
-        qks = left["_q_key"].to_numpy()
-        qlon = left["_q_lon"].to_numpy(dtype=np.float64)
-        qlat = left["_q_lat"].to_numpy(dtype=np.float64)
-        kk = min(k, len(e_keys))
-        chunk = max(1, dist_budget // max(1, len(e_keys)))
-        out_q, out_e, out_d = [], [], []
-        for lo in range(0, len(qks), chunk):
-            hi = min(lo + chunk, len(qks))
-            D = haversine_km(
-                qlon[lo:hi, None], qlat[lo:hi, None],
-                e_lons[None, :], e_lats[None, :],
-            )
-            part = (
-                np.argpartition(D, kk - 1, axis=1)[:, :kk]
-                if kk < D.shape[1]
-                else np.tile(np.arange(D.shape[1]), (D.shape[0], 1))
-            )
-            for r in range(hi - lo):
-                cand = part[r]
-                order = np.lexsort((e_keys[cand], D[r, cand]))
-                sel = cand[order]
-                out_q.extend([qks[lo + r]] * len(sel))
-                out_e.extend(e_keys[sel])
-                out_d.extend(D[r, sel])
+        out_q, out_e, out_d, _ = _topk_block(
+            left["_q_key"].to_numpy(),
+            left["_q_lon"].to_numpy(dtype=np.float64),
+            left["_q_lat"].to_numpy(dtype=np.float64),
+            right["_e_key"].to_numpy(),
+            right["_e_lon"].to_numpy(dtype=np.float64),
+            right["_e_lat"].to_numpy(dtype=np.float64),
+            k,
+        )
         return pd.DataFrame({"qk": out_q, "ek": out_e, "dist_km": out_d})
 
     local = (

@@ -189,8 +189,11 @@ def materialize_concurrently(
 
     def _bound(name, df):
         # wrap in the CALLING thread: the wrapper captures this
-        # thread's properties at creation time
-        return inheritable_thread_target(lambda: action(name, df))
+        # thread's properties at creation time. The session-aware form
+        # (PySpark 3.5+) also inherits addTag-scoped cancellation tags
+        # and avoids the per-sink "Tags will not be inherited" warning
+        # the bare form emits (round-5 advice).
+        return inheritable_thread_target(df.sparkSession)(lambda: action(name, df))
 
     with ThreadPoolExecutor(max_workers=len(outputs)) as ex:
         futures = {

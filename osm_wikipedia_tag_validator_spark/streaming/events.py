@@ -218,13 +218,25 @@ def rate_limited_sink(stream_df: DataFrame, sink_fn, quota_per_batch: int,
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
         take, rest = rate_limited_split(batch_df, quota_per_batch, order_cols)
         sink_fn(take, batch_id)
-        overflow = max(0, batch_df.count() - quota_per_batch)
-        if overflow:
-            if defer_fn is not None:
+        if defer_fn is not None:
+            # overflow probe, bounded (round-5 verdict: the
+            # unconditional full-batch count was a third pass over
+            # every trigger's data even when nothing overflowed).
+            # limit(quota+1).count() short-circuits after quota+1 rows
+            # and needs no sort; the exact overflow count is observable
+            # at the defer store, so no full count runs here at all.
+            if batch_df.limit(quota_per_batch + 1).count() > quota_per_batch:
                 defer_fn(rest, batch_id)
-            print(f"rate_limited_sink[{query_name}] batch {batch_id}: "
-                  f"{'deferred' if defer_fn else 'DROPPED'} {overflow} rows "
-                  f"over quota {quota_per_batch}")
+                print(f"rate_limited_sink[{query_name}] batch {batch_id}: "
+                      f"deferred rows over quota {quota_per_batch}")
+        else:
+            # no re-enqueue hook: over-quota rows are LOST — that
+            # ledger line deserves the exact number, so this branch
+            # keeps the one full (sort-free, column-pruned) count
+            overflow = max(0, batch_df.count() - quota_per_batch)
+            if overflow:
+                print(f"rate_limited_sink[{query_name}] batch {batch_id}: "
+                      f"DROPPED {overflow} rows over quota {quota_per_batch}")
 
     w = stream_df.writeStream.foreachBatch(_on_batch).queryName(query_name)
     if processing_interval:

@@ -15,10 +15,14 @@ _SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 # "sf0.1" shorthand both resolve to /root/testdata/sf0.1 (a bare value
 # used to build /root/testdata/sfsf0.1 and fail confusingly)
 SF_DIR = _SF if "/" in _SF else f"/root/testdata/sf{_SF.removeprefix('sf')}"
-assert os.path.isdir(SF_DIR), (
-    f"SPARK_GRAFT_TEST_SF resolved to {SF_DIR!r}, which does not exist — "
-    "pass a testdata directory, a scale factor like 0.01, or sf0.01"
-)
+if not os.path.isdir(SF_DIR):
+    # skip, don't error: machines without /root/testdata degrade the
+    # same way test_golden_freshness.py does (round-5 advice)
+    pytest.skip(
+        f"SPARK_GRAFT_TEST_SF resolved to {SF_DIR!r}, which does not exist — "
+        "pass a testdata directory, a scale factor like 0.01, or sf0.01",
+        allow_module_level=True,
+    )
 
 _ORACLES = entry_mod.oracle_sql()
 _QUERIES = entry_mod.queries()
