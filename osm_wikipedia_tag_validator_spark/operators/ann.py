@@ -393,13 +393,15 @@ def ivf_topk(
                 nn = min(nprobe_n, S.shape[1])
                 top = np.argpartition(-S, nn - 1, axis=1)[:, :nn]
                 ids = pdf[id_name].to_numpy()
-                rows = {id_name: [], "list_id": [], "vec": []}
-                for r in range(len(ids)):
-                    for c in top[r]:
-                        rows[id_name].append(ids[r])
-                        rows["list_id"].append(int(c))
-                        rows["vec"].append(Xn[r])
-                yield pd.DataFrame(rows)
+                # flat replication, no per-row Python loop: each input
+                # row emits its nn probed lists with the same vec handle
+                yield pd.DataFrame(
+                    {
+                        id_name: np.repeat(ids, nn),
+                        "list_id": top.astype(np.int32).ravel(),
+                        "vec": list(Xn[np.repeat(np.arange(len(ids)), nn)]),
+                    }
+                )
 
         return gen, out_schema
 
@@ -412,21 +414,35 @@ def ivf_topk(
         qg, "qid long, list_id int, vec array<double>"
     )
 
+    # per-list scoring as a cogroup: each probed list meets its corpus
+    # list in ONE applyInPandas task that scores every (query, corpus)
+    # pair in that list. Replaces the equi-join + per-row higher-order
+    # fold (measured ~0.9 s of interpreted lambda evaluation at sf1.0)
+    # AND the 128-doubles-per-pair join output: vectors cross Arrow
+    # once per side, the task emits only (qid, cid, dot). The dot is
+    # accumulated COLUMN BY COLUMN (acc += q_i·c_i, i ascending), which
+    # replays the zip_with/aggregate left fold's exact double-rounding
+    # sequence — emitted values are bit-identical to the HOF path, and
+    # the final rounding stays in Spark (same F.round as before).
+    def score_list(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"qid": [], "cid": [], "dot": []})
+        Q = np.vstack(left["vec"].to_numpy())
+        Cm = np.vstack(right["vec"].to_numpy())
+        acc = np.zeros((len(Q), len(Cm)))
+        for i in range(Q.shape[1]):
+            acc += Q[:, i, None] * Cm[None, :, i]
+        qids = left["qid"].to_numpy()
+        cids = right["cid"].to_numpy()
+        keep = qids[:, None] != cids[None, :]
+        qi, ci = np.nonzero(keep)
+        return pd.DataFrame({"qid": qids[qi], "cid": cids[ci], "dot": acc[qi, ci]})
+
     j = (
-        query_lists.alias("q")
-        .join(corpus_lists.alias("c"), "list_id")
-        .filter(F.col("q.qid") != F.col("c.cid"))
-        .withColumn(
-            "cosine",
-            F.round(
-                F.aggregate(
-                    F.zip_with(F.col("q.vec"), F.col("c.vec"), lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ),
-        )
+        query_lists.groupBy("list_id")
+        .cogroup(corpus_lists.groupBy("list_id"))
+        .applyInPandas(score_list, "qid long, cid long, dot double")
+        .withColumn("cosine", F.round(F.col("dot"), 6))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (

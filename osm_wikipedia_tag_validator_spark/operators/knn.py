@@ -43,6 +43,16 @@ _SEL_PAD = 8
 #: budget × 8 B ≈ 32 MB regardless of entity-side width.
 _CELLS_BUDGET = 4 << 20
 
+#: certification margin for the float32 selection pass: a worst-case
+#: bound on |float32 dot − float64 dot| for 3-term unit-vector dots is
+#: ~5e-7 (input quantization 2⁻²⁴ per component + two accumulation
+#: roundings, all magnitudes ≤ 1); 2e-6 is 4× that. A chunk takes the
+#: float32 result only when, for EVERY query row, the kth-best selected
+#: score clears the best excluded score by more than this margin —
+#: which proves the exact float64 top-k is inside the selected set —
+#: otherwise the chunk recomputes in float64.
+_SEL_ERR32 = 2e-6
+
 
 def _unit_xyz(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
     """(n,) lon/lat degrees → (n, 3) unit vectors on the sphere."""
@@ -91,11 +101,42 @@ def _topk_block(
     Q = _unit_xyz(qlon, qlat)
     cand = np.empty((nq, kp), dtype=np.int64)
     chunk = max(64, _CELLS_BUDGET // max(1, ne))
+    # float32 first pass: half the GEMM/argpartition memory traffic —
+    # the binding axis at 32-wide — certified exact per chunk via the
+    # _SEL_ERR32 margin. When the margin cannot certify (more boundary
+    # near-ties than the pad can prove around, e.g. many entities at
+    # bit-identical coordinates), the chunk falls back to the full
+    # haversine + per-row (dist, key) lexsort — the pre-GEMM exact
+    # kernel, which needs no selection step and therefore has no tie
+    # boundary at all. The fallback is chunk-local and memory-bounded
+    # by _CELLS_BUDGET.
+    from ..functions.geometry import haversine_km as _hav
+
+    Q32 = Q.astype(np.float32)
+    ET32 = ET.astype(np.float32) if kp < ne else None
+    fallback_rows: list[np.ndarray] = []
     for lo in range(0, nq, chunk):
         hi = min(lo + chunk, nq)
-        S = Q[lo:hi] @ ET  # higher dot = nearer
         if kp < ne:
-            cand[lo:hi] = np.argpartition(-S, kp - 1, axis=1)[:, :kp]
+            S32 = Q32[lo:hi] @ ET32
+            part = np.argpartition(-S32, (kp - 1, kp), axis=1)
+            selc = part[:, :kp]
+            rows = np.arange(hi - lo)[:, None]
+            sel_scores = S32[rows, selc]
+            kth_sel = -np.partition(-sel_scores, kk - 1, axis=1)[:, kk - 1]
+            excl_max = S32[rows[:, 0], part[:, kp]]
+            if np.all(kth_sel - excl_max > _SEL_ERR32):
+                cand[lo:hi] = selc
+                continue
+            # uncertifiable chunk: exact full-matrix top-k, ties by key
+            D = _hav(
+                np.asarray(qlon, dtype=np.float64)[lo:hi, None],
+                np.asarray(qlat, dtype=np.float64)[lo:hi, None],
+                e_lons[None, :], e_lats[None, :],
+            )
+            for r in range(hi - lo):
+                order = np.lexsort((e_keys, D[r]))[:kp]
+                cand[lo + r] = order
         else:
             cand[lo:hi] = np.arange(ne)[None, :]
     # exact re-rank on the candidate pad, fully vectorized: stable sort

@@ -47,6 +47,30 @@ from .error_catalog import (
     phrase_tables,
 )
 
+_EXPR_CACHE: tuple | None = None
+
+
+def _expr_cache() -> dict:
+    """Per-JVM memo for pure Column-expression trees.
+
+    Building the validator's big expression trees costs >1 s of driver
+    py4j round trips PER CALL (~6k gateway commands measured on the
+    flagship plan) while the trees are pure functions of column names
+    and static config — so the heavy builders memoize their Columns
+    here. Columns are immutable unresolved expression wrappers: reusing
+    one across selects/DataFrames is exactly how the DSL composes, and
+    nothing data-dependent is ever stored. The cache is keyed to the
+    live SparkContext, so a stopped/restarted JVM gets a fresh dict and
+    no stale py4j handles survive a restart."""
+    global _EXPR_CACHE
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    if _EXPR_CACHE is None or _EXPR_CACHE[0] is not ctx:
+        _EXPR_CACHE = (ctx, {})
+    return _EXPR_CACHE[1]
+
+
 # kept for callers/tests that reason about the canonical plain keys;
 # extraction itself is DYNAMIC over any `<prefix>:wikipedia` /
 # `<prefix>:wikidata` key (reference iterates all tag keys)
@@ -285,6 +309,10 @@ def extract_wiki_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
                                         form)
       wikipedia_lang/-article           split of the pair's wp payload
     """
+    cache = _expr_cache()
+    memo_key = ("extract_wiki_tags", tags_col)
+    if memo_key in cache:
+        return df.select("*", *cache[memo_key])
     t = F.col(tags_col)
     keys = F.map_keys(t)
     # suffix test, not a regex — this runs per key per row in the hot
@@ -368,8 +396,7 @@ def extract_wiki_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
     # one select, not a withColumn chain — each withColumn re-analyzes
     # the whole plan and the flagship's driver-side planning cost is a
     # serial Amdahl term at high DOP
-    return df.select(
-        "*",
+    cache[memo_key] = [
         wp.alias("wikipedia_tag"),
         wd.alias("wikidata_tag"),
         wp_key.alias("used_primary_wikipedia_key"),
@@ -383,7 +410,8 @@ def extract_wiki_tags(df: DataFrame, tags_col: str = "tags") -> DataFrame:
         F.when(old_key.isNotNull(), t.getItem(old_key)).alias("old_style_wikipedia_value"),
         F.get(F.split(wp, ":", 2), 0).alias("wikipedia_lang"),
         F.get(F.split(wp, ":", 2), 1).alias("wikipedia_article"),
-    )
+    ]
+    return df.select("*", *cache[memo_key])
 
 
 def relevance_filter(df: DataFrame, tags_col: str = "tags") -> Column:
@@ -415,12 +443,18 @@ def join_wiki_entities(elements: DataFrame, wiki: DataFrame) -> DataFrame:
     source; normalize arbitrary dumps with
     `sources.wiki_dim.build_wiki_entities_dim`."""
     wiki = assert_wiki_dim(wiki)
-    phrase_dim = F.broadcast(
-        wiki.sparkSession.createDataFrame(
-            list(SECONDARY_CLASS_PHRASES.items()),
-            "instance_of string, secondary_phrase string",
+    cache = _expr_cache()
+    phrase_dim = cache.get("phrase_dim")
+    if phrase_dim is None:
+        # static 132-row literal dim — one LocalTableScan per JVM, not
+        # one createDataFrame round trip per validate() call
+        phrase_dim = F.broadcast(
+            wiki.sparkSession.createDataFrame(
+                list(SECONDARY_CLASS_PHRASES.items()),
+                "instance_of string, secondary_phrase string",
+            )
         )
-    )
+        cache["phrase_dim"] = phrase_dim
     # join the phrase dim only into the two selections that read
     # secondary_phrase; the redirect-target and secondary-existence
     # dims never use it, and Catalyst cannot prune a left join out of
@@ -759,12 +793,19 @@ def classify(df: DataFrame, region_lang_col: str = "language_code",
     from) — "most important problem" selection is data, not code
     structure."""
     priorities = priorities or RULE_PRIORITIES
-    rules = build_rules(region_lang_col, inside_region_col, request_missing_tags)
-    ordered = sorted(rules.items(), key=lambda kv: priorities.get(kv[0], 10_000))
-    cascade: Column | None = None
-    for _fam, (cond, err) in ordered:
-        cascade = F.when(cond, err) if cascade is None else cascade.when(cond, err)
-    assert cascade is not None
+    cache = _expr_cache()
+    memo_key = (
+        "classify", region_lang_col, inside_region_col, request_missing_tags,
+        tuple(sorted(priorities.items())),
+    )
+    cascade = cache.get(memo_key)
+    if cascade is None:
+        rules = build_rules(region_lang_col, inside_region_col, request_missing_tags)
+        ordered = sorted(rules.items(), key=lambda kv: priorities.get(kv[0], 10_000))
+        for _fam, (cond, err) in ordered:
+            cascade = F.when(cond, err) if cascade is None else cascade.when(cond, err)
+        assert cascade is not None
+        cache[memo_key] = cascade
     return df.select(
         "*",
         cascade.alias("error_id"),
@@ -827,6 +868,10 @@ def build_report(df: DataFrame) -> DataFrame:
       invalid old-style wikipedia tag →
           {wikipedia:<lang>: Article} → {wikipedia: <lang>:Article}
     """
+    cache = _expr_cache()
+    memo_key = ("build_report",)
+    if memo_key in cache:
+        return df.select("*", *cache[memo_key])
     url = F.concat(
         F.lit("https://www.openstreetmap.org/"), F.col("type"), F.lit("/"), F.col("id")
     )
@@ -956,7 +1001,8 @@ def build_report(df: DataFrame) -> DataFrame:
             url.alias("osm_object_url"),
         ),
     )
-    return df.select("*", url.alias("osm_object_url"), report.alias("report"))
+    cache[memo_key] = [url.alias("osm_object_url"), report.alias("report")]
+    return df.select("*", *cache[memo_key])
 
 
 def proposed_wikipedia_target(df: DataFrame, report_col: str = "report") -> DataFrame:

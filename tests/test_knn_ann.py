@@ -422,3 +422,35 @@ def test_knn_bruteforce_empty_entities_after_null_drop(spark):
     out = KNN.knn_bruteforce(qs, ents, k=3, q_key="id", e_key="qid")
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id", "qid", "dist_km", "rank"]
+
+
+def test_knn_bruteforce_exact_under_duplicate_coordinates(spark):
+    """Tie regression for the GEMM-selection kernel: many entities at
+    bit-identical coordinates put more boundary ties than the
+    candidate pad can cover — the certification margin must fail and
+    the full-matrix (dist, key) fallback must keep the smallest-key
+    ties, exactly like the pre-GEMM kernel and the SQL oracle."""
+    rng = np.random.default_rng(31)
+    base_lon = 10 + rng.uniform(0, 0.002, 40)
+    base_lat = 50 + rng.uniform(0, 0.002, 40)
+    epdf = pd.DataFrame(
+        {
+            "qid": np.arange(4000, dtype=np.int64),
+            "lon": np.repeat(base_lon, 100),
+            "lat": np.repeat(base_lat, 100),
+        }
+    )
+    qpdf = pd.DataFrame(
+        {
+            "id": np.arange(30, dtype=np.int64),
+            "lon": 10 + rng.uniform(0, 0.002, 30),
+            "lat": 50 + rng.uniform(0, 0.002, 30),
+        }
+    )
+    got = KNN.knn_bruteforce(
+        spark.createDataFrame(qpdf), spark.createDataFrame(epdf), k=5,
+        q_key="id", e_key="qid",
+    ).toPandas()
+    exp = _numpy_knn(qpdf, epdf, 5)
+    for qid, grp in got.groupby("id"):
+        assert grp.sort_values("rank")["qid"].tolist() == exp[int(qid)]
