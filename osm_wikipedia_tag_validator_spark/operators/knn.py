@@ -177,6 +177,7 @@ def knn_bruteforce(
     e_lon: str = "lon",
     e_lat: str = "lat",
     max_inline_entities: int = 2_000_000,
+    _known_entity_count: int | None = None,
 ) -> DataFrame:
     """Exact kNN against a broadcastable entity side — ZERO shuffle.
 
@@ -225,8 +226,17 @@ def knn_bruteforce(
     # size check BEFORE collecting: an over-limit entity table must never
     # reach toPandas() — that driver materialization is exactly what the
     # threshold protects against (limit+count touches only the first
-    # max_inline_entities+1 rows, it never pulls data to the driver)
-    if entities.limit(max_inline_entities + 1).count() > max_inline_entities:
+    # max_inline_entities+1 rows, it never pulls data to the driver).
+    # Callers that already counted this side (knn_kring's cost rule and
+    # its straggler cutoff, both of which count the cached entity set
+    # anyway) pass `_known_entity_count` so the guard job isn't re-run
+    # per call.
+    n_known = (
+        _known_entity_count
+        if _known_entity_count is not None
+        else entities.limit(max_inline_entities + 1).count()
+    )
+    if n_known > max_inline_entities:
         return _knn_blocked(
             q, entities, k, q_key, e_key, e_lon, e_lat,
             block_rows=min(max_inline_entities, 65536),
@@ -460,16 +470,16 @@ def knn_kring(
     # before hitting the straggler cutoff for nothing
     queries = queries.filter(F.col(q_lon).isNotNull() & F.col(q_lat).isNotNull())
     entities = entities.filter(F.col(e_lon).isNotNull() & F.col(e_lat).isNotNull())
-    if (
-        max_inline_entities > 0
-        and entities.limit(max_inline_entities + 1).count() <= max_inline_entities
-    ):
-        return knn_bruteforce(
-            queries, entities, k,
-            q_key=q_key, e_key=e_key, q_lon=q_lon, q_lat=q_lat,
-            e_lon=e_lon, e_lat=e_lat,
-            max_inline_entities=max_inline_entities,
-        )
+    if max_inline_entities > 0:
+        n_probe = entities.limit(max_inline_entities + 1).count()
+        if n_probe <= max_inline_entities:
+            return knn_bruteforce(
+                queries, entities, k,
+                q_key=q_key, e_key=e_key, q_lon=q_lon, q_lat=q_lat,
+                e_lon=e_lon, e_lat=e_lat,
+                max_inline_entities=max_inline_entities,
+                _known_entity_count=n_probe,
+            )
     ent = entities.select(
         F.col(e_key).alias("_e_key"),
         F.col(e_lon).alias("_e_lon"),
@@ -492,6 +502,7 @@ def knn_kring(
             queries, entities, k,
             q_key=q_key, e_key=e_key, q_lon=q_lon, q_lat=q_lat,
             e_lon=e_lon, e_lat=e_lat,
+            _known_entity_count=n_ent,
         )
     ent = ent.withColumn("_e_cell", C.cell_col(F.col("_e_lon"), F.col("_e_lat"), res))
 
@@ -624,6 +635,7 @@ def knn_kring(
                 k,
                 q_key=q_key, e_key=e_key, q_lon=q_lon, q_lat=q_lat,
                 e_lon=e_lon, e_lat=e_lat,
+                _known_entity_count=n_ent,
             )
             results = rest if results is None else results.unionByName(rest)
             break

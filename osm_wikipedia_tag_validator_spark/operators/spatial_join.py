@@ -180,8 +180,22 @@ def _pip_join_native(points, polygons, lon_col, lat_col, res, how: str = "inner"
                 for a, b in zip(r, nxt)
             )
         edge_rows.append((p["polygon_id"], edges))
+    # pandas frame + explicit schema → driver-local LocalTableScan;
+    # a plain list-of-tuples goes through applySchemaToPythonRDD (a
+    # pickled ExistingRDD) and every broadcast build of the cover then
+    # launches a Python task — one per PIP join per leg (visible as
+    # `Scan ExistingRDD` in plans/r06/pip_convex_before.txt, gone in
+    # the after plan). Same trick world.py's dim constructors use.
     edges_df = spark.createDataFrame(
-        edge_rows,
+        pd.DataFrame(
+            {
+                "polygon_id": [pid for pid, _ in edge_rows],
+                "edges": [
+                    [{"x0": a, "y0": b, "x1": c, "y1": d} for a, b, c, d in edges]
+                    for _, edges in edge_rows
+                ],
+            }
+        ),
         "polygon_id string, edges array<struct<x0:double,y0:double,x1:double,y1:double>>",
     )
     cover = (
