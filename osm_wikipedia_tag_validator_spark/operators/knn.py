@@ -489,7 +489,12 @@ def knn_kring(
     if res is None:
         import math
 
-        res = max(0, min(C.MAX_RES, int(0.5 * math.log2(max(n_ent / (4 * k), 1)))))
+        # round, don't floor: flooring 6.8 → 6 quadruples the per-cell
+        # density the formula targets, and the ring-1 candidate join is
+        # linear in it (measured at sf1.0: res 6 → 660 candidates/query
+        # and a 6.6M-row window input, 5.8 s; res 7 → ~165/query,
+        # 2.5 s; same exact results at any res)
+        res = max(0, min(C.MAX_RES, round(0.5 * math.log2(max(n_ent / (4 * k), 1)))))
     if (2 * initial_ring + 1) >= (1 << res):
         # adaptive physical strategy: the entity set is so sparse that
         # the first ring already spans the whole grid — the index can't
@@ -515,24 +520,33 @@ def knn_kring(
     # ~0.4 s on the 15k-entity bench query, ~30%). At the scale the
     # salt exists for (millions of entities) the pre-pass amortizes.
     if salt_hot_cells and n_ent >= 8 * hot_cell_min:
-        # histogram pre-pass over the cached entity side: one groupBy
-        # shuffle reduced to ~n_cells rows, cached so the mean job fills
-        # it and the top-cells job reads it (one shuffle, two consumers);
-        # the driver pull is bounded by max_hot_cells ids (longs), never
-        # entity data
-        hist = ent.groupBy("_e_cell").agg(F.count(F.lit(1)).alias("_c")).cache()
-        try:
-            mean_c = hist.agg(F.avg("_c").alias("m")).first()["m"] or 0.0
-            threshold = max(hot_cell_factor * float(mean_c), float(hot_cell_min))
-            hot_cells = [
-                r["_e_cell"]
-                for r in hist.filter(F.col("_c") > threshold)
-                .orderBy(F.desc("_c"))
-                .limit(max_hot_cells)
-                .collect()
-            ]
-        finally:
-            hist.unpersist()
+        # histogram pre-pass over the cached entity side, as ONE job:
+        # the occupied-cell mean and the over-floor cells come out of
+        # the same aggregation (collect_list skips the nulls the `when`
+        # produces, so the pull is bounded by n_ent / hot_cell_min
+        # structs — never entity data); the factor×mean threshold and
+        # the top-max_hot_cells cut apply driver-side over that bounded
+        # list. Previously this was a cache + two jobs per call.
+        row = (
+            ent.groupBy("_e_cell")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.avg("_c").alias("m"),
+                F.collect_list(
+                    F.when(
+                        F.col("_c") > hot_cell_min,
+                        F.struct(F.col("_c").alias("c"), F.col("_e_cell").alias("cell")),
+                    )
+                ).alias("cand"),
+            )
+            .first()
+        )
+        threshold = max(hot_cell_factor * float(row["m"] or 0.0), float(hot_cell_min))
+        over = sorted(
+            (r for r in row["cand"] if r["c"] > threshold),
+            key=lambda r: -r["c"],
+        )
+        hot_cells = [r["cell"] for r in over[:max_hot_cells]]
 
     remaining = queries.select(
         F.col(q_key).alias("_q_key"),
