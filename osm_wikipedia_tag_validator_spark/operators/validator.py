@@ -447,10 +447,21 @@ def join_wiki_entities(elements: DataFrame, wiki: DataFrame) -> DataFrame:
     phrase_dim = cache.get("phrase_dim")
     if phrase_dim is None:
         # static 132-row literal dim — one LocalTableScan per JVM, not
-        # one createDataFrame round trip per validate() call
+        # one createDataFrame round trip per validate() call. pandas +
+        # schema so it plans as LocalTableScan; the list-of-tuples form
+        # planned as a pickled ExistingRDD, whose TWO broadcast builds
+        # per validate (wp and wd sides) each ran a Python task.
+        import pandas as _pd
+
+        items = list(SECONDARY_CLASS_PHRASES.items())
         phrase_dim = F.broadcast(
             wiki.sparkSession.createDataFrame(
-                list(SECONDARY_CLASS_PHRASES.items()),
+                _pd.DataFrame(
+                    {
+                        "instance_of": [k for k, _ in items],
+                        "secondary_phrase": [v for _, v in items],
+                    }
+                ),
                 "instance_of string, secondary_phrase string",
             )
         )

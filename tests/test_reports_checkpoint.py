@@ -332,3 +332,25 @@ def test_materialize_concurrently_inherits_job_group(spark):
     finally:
         sc.setJobGroup("", "")
     assert got["a"] == (5, "sink-group") and got["b"] == (5, "sink-group")
+
+
+def test_materialize_concurrently_failure_surfaces_others_complete(spark, tmp_path):
+    """Failure semantics pinned (round-5 verdict item 6): the first
+    failing sink's exception re-raises from its future, and sinks
+    already running are NOT cancelled — their outputs land."""
+    import pytest
+
+    ok_df = spark.range(100)
+    bad_df = spark.range(100)
+    landed = str(tmp_path / "ok")
+
+    def action(name, df):
+        if name == "bad":
+            raise RuntimeError("sink exploded")
+        df.write.mode("overwrite").parquet(landed)
+        return df.count()
+
+    with pytest.raises(RuntimeError, match="sink exploded"):
+        P.materialize_concurrently({"bad": bad_df, "ok": ok_df}, action=action)
+    # the surviving sink ran to completion despite the sibling failure
+    assert spark.read.parquet(landed).count() == 100
