@@ -454,3 +454,69 @@ def test_knn_bruteforce_exact_under_duplicate_coordinates(spark):
     exp = _numpy_knn(qpdf, epdf, 5)
     for qid, grp in got.groupby("id"):
         assert grp.sort_values("rank")["qid"].tolist() == exp[int(qid)]
+
+
+def test_knn_topk_block_fuzz_regimes():
+    """Kernel-level fuzz of `_topk_block` (the GEMM selection + float32
+    certificate + exact fallback) against a per-row numpy brute force,
+    BIT-EXACT on (q_key, e_key, dist, rank). Eight regimes rotate
+    through the geometries that stress the selection boundary: uniform,
+    dense ~200 m cluster, duplicate-coordinate groups, all-identical
+    entities, polar, antipodal, query==entity, and near-tie rings at
+    1e-12-degree separation. Seeded; no Spark needed."""
+    rng = np.random.default_rng(20260822)
+
+    def brute(qk, qlon, qlat, ek, elon, elat, k):
+        out = []
+        kk = min(k, len(ek))
+        for i in range(len(qk)):
+            d = haversine_km(
+                np.full(len(ek), qlon[i]), np.full(len(ek), qlat[i]), elon, elat
+            )
+            order = np.lexsort((ek, d))[:kk]
+            out.extend((qk[i], ek[j], d[j], r + 1) for r, j in enumerate(order))
+        return sorted(out)
+
+    for trial in range(64):
+        regime = trial % 8
+        nq = int(rng.integers(1, 40))
+        ne = int(rng.integers(1, 300))
+        k = int(rng.integers(1, 12))
+        if regime == 0:
+            qlon, qlat = rng.uniform(-180, 180, nq), rng.uniform(-85, 85, nq)
+            elon, elat = rng.uniform(-180, 180, ne), rng.uniform(-85, 85, ne)
+        elif regime == 1:
+            c = rng.uniform(-50, 50, 2)
+            qlon, qlat = c[0] + rng.normal(0, 0.002, nq), c[1] + rng.normal(0, 0.002, nq)
+            elon, elat = c[0] + rng.normal(0, 0.002, ne), c[1] + rng.normal(0, 0.002, ne)
+        elif regime == 2:
+            ngroups = max(1, ne // 10)
+            glon, glat = rng.uniform(-180, 180, ngroups), rng.uniform(-85, 85, ngroups)
+            gi = rng.integers(0, ngroups, ne)
+            elon, elat = glon[gi], glat[gi]
+            qlon, qlat = rng.uniform(-180, 180, nq), rng.uniform(-85, 85, nq)
+        elif regime == 3:
+            elon = np.full(ne, 13.4); elat = np.full(ne, 52.5)
+            qlon, qlat = rng.uniform(-180, 180, nq), rng.uniform(-85, 85, nq)
+        elif regime == 4:
+            qlon, qlat = rng.uniform(-180, 180, nq), rng.uniform(85, 90, nq)
+            elon, elat = rng.uniform(-180, 180, ne), rng.uniform(-90, 90, ne)
+        elif regime == 5:
+            qlon, qlat = rng.uniform(-180, 180, nq), rng.uniform(-5, 5, nq)
+            elon = (qlon[rng.integers(0, nq, ne)] + 180) % 360 - 180
+            elat = -rng.uniform(-5, 5, ne)
+        elif regime == 6:
+            elon, elat = rng.uniform(-180, 180, ne), rng.uniform(-85, 85, ne)
+            idx = rng.integers(0, ne, nq)
+            qlon, qlat = elon[idx].copy(), elat[idx].copy()
+        else:
+            qlon, qlat = np.full(nq, 10.0), np.full(nq, 45.0)
+            ang = rng.uniform(0, 2 * np.pi, ne)
+            r = 0.01 + rng.choice([0.0, 1e-12, 1e-9], ne)
+            elon, elat = 10.0 + r * np.cos(ang), 45.0 + r * np.sin(ang)
+        qk = np.arange(nq, dtype=np.int64)
+        ek = rng.permutation(ne).astype(np.int64)
+        oq, oe, od, orr = KNN._topk_block(qk, qlon, qlat, ek, elon, elat, k)
+        got = sorted(zip(oq.tolist(), oe.tolist(), od.tolist(), orr.tolist()))
+        exp = brute(qk, qlon, qlat, ek, elon, elat, k)
+        assert got == exp, f"trial {trial} regime {regime} nq={nq} ne={ne} k={k}"
